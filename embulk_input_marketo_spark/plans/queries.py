@@ -1,0 +1,709 @@
+"""The engine's query surface over the driver test tables, with ANSI-SQL
+oracles for the DuckDB correctness gate.
+
+Mapping of the engine's own data model onto the driver tables: ``events``
+plays the changelog (event_id ≡ lsn — unique & monotone, ts ≡ warc_ts,
+user_id ≡ url/key); ``documents``/``embeddings`` carry the training-data
+pipeline operators; TPC-H-ish tables carry the join/rollup/coercion surface.
+
+Every Spark column is aliased to the same name the oracle SQL produces;
+float-accumulating aggregates go through DECIMAL casts so Spark and DuckDB
+hash identically.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from embulk_input_marketo_spark.functions import similarity, textops
+from embulk_input_marketo_spark.operators import dedup_docs, sanitize
+from embulk_input_marketo_spark.operators.dedup import lww_dedup
+from embulk_input_marketo_spark.operators.windows import bounded_scan
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC core (events ≡ changelog)
+# ---------------------------------------------------------------------------
+
+def _events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic changelog view of events: signup→I, error→D, rest→U."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("user_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full engine replay — changelog → sliced batches → salted LWW
+    dedup → manifest-gated MERGE into a lake table → read final state."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="lake_q_")
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    n = log.count()
+    replay(spark, log, table, batch_span=max(n // 4, 1), salt_buckets=8)
+    return table.read(spark).select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").alias("ts"),
+        "value",
+        "props",
+    )
+
+
+def _sql_cdc_final_state() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS user_id, ts, value, props
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, ts, value, props FROM latest WHERE rn = 1 AND op <> 'D'
+    """
+
+
+def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LWW reducer alone (salted two-phase) — latest event per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = lww_dedup(
+        ev.select(
+            F.col("user_id"), F.col("ts"), F.col("event_id"), F.col("value")
+        ),
+        key_cols="user_id",
+        order_cols=["ts", "event_id"],
+        salt_buckets=8,
+    )
+    return out.select("user_id", "ts", F.col("event_id").alias("last_event_id"), "value")
+
+
+def _sql_lww_dedup() -> str:
+    return """
+    SELECT user_id, ts, event_id AS last_event_id, value
+    FROM (SELECT user_id, ts, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """
+
+
+def q_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded half-open (hwm, hi] scan of the log (C1) — the bulk-export
+    window replacement; predicate pushes to the parquet scan."""
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("event_id", "lsn")
+    w = bounded_scan(ev, 2_500, 7_500)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
+def _sql_incremental_window() -> str:
+    return """
+    SELECT event_type, COUNT(*) AS n_events,
+           MIN(event_id) AS min_lsn, MAX(event_id) AS max_lsn
+    FROM events WHERE event_id > 2500 AND event_id <= 7500
+    GROUP BY event_type
+    """
+
+
+def q_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range slicing (C2): per-slice row counts and lsn bounds — the ≤30-day
+    export-window analogue (MarketoUtils.sliceRange:100-113)."""
+    span = 1_000
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("slice_id", F.floor(F.col("event_id") / span))
+        .groupBy("slice_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("lsn_lo"),
+            F.max("event_id").alias("lsn_hi"),
+        )
+    )
+
+
+def _sql_window_slices() -> str:
+    return """
+    SELECT CAST(FLOOR(event_id / 1000) AS BIGINT) AS slice_id,
+           COUNT(*) AS n_events, MIN(event_id) AS lsn_lo, MAX(event_id) AS lsn_hi
+    FROM events GROUP BY 1
+    """
+
+
+def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-table metrics rollup (A3 analogue): per key-partition lineage
+    counters committed with each batch."""
+    ev = _t(spark, sf_dir, "events")
+    part = F.pmod(F.col("user_id"), F.lit(4)).alias("partition_id")
+    return ev.groupBy(part).agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.min("event_id").alias("min_lsn"),
+        F.max("event_id").alias("hwm_lsn"),
+        F.count_distinct("user_id").alias("n_keys"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+def _sql_checkpoint_rollup() -> str:
+    return """
+    SELECT user_id % 4 AS partition_id, COUNT(*) AS rows_in,
+           MIN(event_id) AS min_lsn, MAX(event_id) AS hwm_lsn,
+           COUNT(DISTINCT user_id) AS n_keys,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Parsing / coercion / sanitization (reference §2.2)
+# ---------------------------------------------------------------------------
+
+def q_coerce_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late type coercion of stringly JSON payloads (P4): props JSON →
+    typed long, with the reference's ''/'null' → NULL rule."""
+    from embulk_input_marketo_spark.operators.coerce import nullify
+
+    ev = _t(spark, sf_dir, "events")
+    k = nullify(F.get_json_object("props", "$.k")).cast("long")
+    return (
+        ev.select(F.col("event_id"), k.alias("k_typed"))
+        .where(F.col("k_typed").isNotNull())
+    )
+
+
+def _sql_coerce_props() -> str:
+    return """
+    SELECT event_id, CAST(NULLIF(NULLIF(json_extract_string(props, '$.k'), ''),
+                                 'null') AS BIGINT) AS k_typed
+    FROM events
+    WHERE CAST(NULLIF(NULLIF(json_extract_string(props, '$.k'), ''), 'null') AS BIGINT)
+          IS NOT NULL
+    """
+
+
+def q_sanitize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-id sanitization (P10): trim, drop empties, keep numeric only."""
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.when(F.col("event_type") == "error",
+               F.concat(F.lit("x"), F.col("user_id").cast("string")))
+        .otherwise(F.concat(F.lit(" "), F.col("user_id").cast("string"),
+                            F.lit(" ")))
+        .alias("raw_id")
+    )
+    ids = raw.select(F.trim("raw_id").alias("id")).where(F.col("id") != "")
+    return (
+        sanitize.valid_ids(ids)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_sanitize_ids() -> str:
+    return """
+    WITH raw AS (
+      SELECT CASE WHEN event_type = 'error'
+                  THEN 'x' || CAST(user_id AS VARCHAR)
+                  ELSE ' ' || CAST(user_id AS VARCHAR) || ' ' END AS raw_id
+      FROM events
+    ), ids AS (SELECT TRIM(raw_id) AS id FROM raw WHERE TRIM(raw_id) <> '')
+    SELECT id, COUNT(*) AS n FROM ids
+    WHERE regexp_full_match(id, '[0-9]+') GROUP BY id
+    """
+
+
+def q_missing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Requested-vs-actual reconciliation: left-anti join (the reference's
+    warn-on-missing loop, MarketoBaseInputPluginDelegate.java:139-161)."""
+    ev = _t(spark, sf_dir, "events")
+    requested = ev.select(F.col("user_id").alias("id")).distinct()
+    actual = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("id"))
+        .distinct()
+    )
+    return sanitize.missing_ids(requested, actual)
+
+
+def _sql_missing_ids() -> str:
+    return """
+    SELECT DISTINCT user_id AS id FROM events
+    EXCEPT
+    SELECT DISTINCT user_id AS id FROM events WHERE event_type = 'signup'
+    """
+
+
+# ---------------------------------------------------------------------------
+# Joins / enrichment / rollups
+# ---------------------------------------------------------------------------
+
+def q_fanout_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-ids × child-records fan-out as a broadcast join (P7/§2.4):
+    orders enriched with their customer's nation, revenue per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # customer ⋈ nation on nationkey (both small → broadcast), then the big
+    # fact stream joins the broadcast dimension — no shuffle of orders
+    dim = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(F.col("c_custkey"), F.col("n_name"))
+    enriched = orders.join(F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"])
+    return enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
+def _sql_fanout_enrichment() -> str:
+    return """
+    SELECT n.n_name AS n_name, COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate — partial+final hash aggregation, decimal
+    exactness (the metrics-rollup pattern at table scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(28,4)")
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _sql_pricing_rollup() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(28,4))) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling business-time windows (§2.7): daily event counts — the
+    fetch_days window analogue, streaming-compatible shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def _sql_tumbling_window() -> str:
+    return """
+    SELECT date_trunc('day', ts) AS day_start, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textops.token_count("text").alias("n_tokens")
+    )
+
+
+def _sql_token_count() -> str:
+    return r"""
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+    FROM documents
+    """
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.quality_score("text").alias("quality"))
+
+
+def _sql_quality_score() -> str:
+    return """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.5 * (n_alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+                 + 0.2 * LEAST((n_space / CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 5, 1.0)
+                 + 0.3 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 6) AS quality
+    FROM c
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(textops.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_lang_id() -> str:
+    # mirror of textops._STOPWORDS scoring with strictly-greater argmax
+    def hits(lang_words):
+        parts = []
+        for w in lang_words:
+            parts.append(
+                f"CAST((length(t) - length(regexp_replace(t, '\\b{w}\\b', '', 'g'))) / {len(w)} AS BIGINT)"
+            )
+        return " + ".join(parts)
+
+    from embulk_input_marketo_spark.functions.textops import _STOPWORDS
+
+    score_cols = ",\n           ".join(
+        f"({hits(ws)}) AS s_{lang}" for lang, ws in _STOPWORDS.items()
+    )
+    langs = list(_STOPWORDS)
+    # fold argmax with earlier-language-wins-ties (strictly greater)
+    expr = "'und'"
+    best = "CAST(0 AS BIGINT)"
+    for lang in langs:
+        expr = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"GREATEST({best}, s_{lang})"
+    return f"""
+    WITH lc AS (SELECT lower(text) AS t FROM documents),
+    scored AS (SELECT {score_cols} FROM lc)
+    SELECT {expr} AS lang_pred, COUNT(*) AS n_docs FROM scored GROUP BY 1
+    """
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-identical extraction invariant (input_hint), inside the gate:
+    build html from documents.text, run the Arrow pandas UDF, compare against
+    a pure-SQL oracle of the same transform."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>d</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return docs.select(
+        "doc_id", textops.extract_text(html).alias("extracted")
+    )
+
+
+def _sql_extract_text() -> str:
+    return r"""
+    SELECT doc_id,
+           TRIM(regexp_replace(
+             regexp_replace('<html><head><title>d</title></head><body><p>'
+                            || text || '</p></body></html>', '<[^>]*>', ' ', 'g'),
+             '\s+', ' ', 'g')) AS extracted
+    FROM documents
+    """
+
+
+def q_doc_stats_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + typed metadata extraction
+    through mapInPandas (decode itself is a stub at byte level here)."""
+    from embulk_input_marketo_spark.functions.multimodal import binary_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    with_bin = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_metadata(with_bin, "payload")
+
+
+def _sql_doc_stats_bytes() -> str:
+    return """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           substr(encode(text), 1, 4)::VARCHAR AS magic
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Dedup family & similarity over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic duplicates (every 10th doc re-emitted with
+    doc_id+100000) — guarantees the near-dup operators have work to do."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_docs.exact_dedup(_docs_with_copies(spark, sf_dir))
+
+
+def _sql_exact_dedup() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id, regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
+      FROM docs
+    )
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size FROM norm GROUP BY t
+    """
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH candidate generation verified by exact n-gram Jaccard at
+    0.999 — on the copies fixture the confirmed pairs are exactly the
+    duplicate pairs, giving the full pipeline a SQL oracle."""
+    docs = _docs_with_copies(spark, sf_dir)
+    pairs = dedup_docs.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=3
+    )
+    verified = dedup_docs.ngram_jaccard(pairs, docs, n=3, threshold=0.999)
+    return verified.select("left_id", "right_id")
+
+
+def _sql_minhash_dedup_pairs() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id, regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
+      FROM docs
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id
+    FROM norm a JOIN norm b ON a.t = b.t AND a.doc_id < b.doc_id
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures: duplicate docs must collide — checked by counting
+    signature groups (rows-only vs oracle is avoided by aggregating)."""
+    docs = _docs_with_copies(spark, sf_dir)
+    sigs = dedup_docs.simhash(docs, shingle_n=2)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep_id"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+def q_ngram_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a bounded candidate set (first 40 docs) —
+    SQL-oracle-checkable via unnested gram sets."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 40
+    )
+    a = docs.select(F.col("doc_id").alias("left_id"))
+    b = docs.select(F.col("doc_id").alias("right_id"))
+    pairs = a.crossJoin(b).where(F.col("left_id") < F.col("right_id"))
+    j = dedup_docs.ngram_jaccard(pairs, docs, n=1, threshold=0.0)
+    return j.where(F.col("jaccard") > 0.2)
+
+
+def _sql_ngram_jaccard_matrix() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 40
+    ), grams AS (
+      SELECT doc_id, DISTINCT ON (doc_id, g) g
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS g FROM docs)
+    ), grams_d AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS g FROM docs)
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams_d GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
+      FROM grams_d a JOIN grams_d b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.left_id, i.right_id,
+           ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.left_id
+    JOIN sizes sb ON sb.doc_id = i.right_id
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) > 0.2
+    """
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline) for 3 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def _sql_embedding_topk() -> str:
+    return """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM e CROSS JOIN q
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path) — self-consistency
+    checked rows-only (approximation has no SQL oracle)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_topk(emb, queries, dim=64, k=5, n_planes=8)
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FNV-1a rolling-hash document fingerprints (pandas UDF) — duplicates
+    collide; aggregated group profile (rows-only check)."""
+    docs = _docs_with_copies(spark, sf_dir)
+    fp = docs.select(textops.fingerprint64("text").alias("fp"))
+    return fp.groupBy("fp").count().groupBy("count").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_final_state": q_cdc_final_state,
+    "lww_dedup": q_lww_dedup,
+    "incremental_window": q_incremental_window,
+    "window_slices": q_window_slices,
+    "checkpoint_rollup": q_checkpoint_rollup,
+    "coerce_props": q_coerce_props,
+    "sanitize_ids": q_sanitize_ids,
+    "missing_ids": q_missing_ids,
+    "fanout_enrichment": q_fanout_enrichment,
+    "pricing_rollup": q_pricing_rollup,
+    "tumbling_window": q_tumbling_window,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "extract_text": q_extract_text,
+    "doc_stats_bytes": q_doc_stats_bytes,
+    "exact_dedup": q_exact_dedup,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "simhash_groups": q_simhash,
+    "ngram_jaccard_matrix": q_ngram_jaccard_matrix,
+    "embedding_topk": q_embedding_topk,
+    "ann_topk": q_ann_topk,
+    "fingerprint_groups": q_fingerprints,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_final_state": _sql_cdc_final_state(),
+    "lww_dedup": _sql_lww_dedup(),
+    "incremental_window": _sql_incremental_window(),
+    "window_slices": _sql_window_slices(),
+    "checkpoint_rollup": _sql_checkpoint_rollup(),
+    "coerce_props": _sql_coerce_props(),
+    "sanitize_ids": _sql_sanitize_ids(),
+    "missing_ids": _sql_missing_ids(),
+    "fanout_enrichment": _sql_fanout_enrichment(),
+    "pricing_rollup": _sql_pricing_rollup(),
+    "tumbling_window": _sql_tumbling_window(),
+    "token_count": _sql_token_count(),
+    "quality_score": _sql_quality_score(),
+    "lang_id": _sql_lang_id(),
+    "extract_text": _sql_extract_text(),
+    "doc_stats_bytes": _sql_doc_stats_bytes(),
+    "exact_dedup": _sql_exact_dedup(),
+    "minhash_dedup_pairs": _sql_minhash_dedup_pairs(),
+    "ngram_jaccard_matrix": _sql_ngram_jaccard_matrix(),
+    "embedding_topk": _sql_embedding_topk(),
+    # rows-only (no SQL oracle): simhash_groups, ann_topk, fingerprint_groups
+}

@@ -1,0 +1,125 @@
+"""Replay orchestrator: changelog window → LWW dedup → schema reconcile →
+MERGE → atomic checkpoint advance.
+
+This is the Spark re-expression of the reference's transaction lifecycle
+(SURVEY.md §3.1): validate/plan window → discover schema → ingest → advance
+``ConfigDiff``. One ``replay()`` call = one Embulk "transaction"; each inner
+slice = one bulk-export window (``MarketoBaseBulkExtractInputPlugin.java:
+140-175``), except slices here run through Spark's distributed plan instead of
+a single-threaded CSV loop (the reference's data plane is one task,
+``MarketoBaseInputPluginDelegate.java:104-108``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from embulk_input_marketo_spark.checkpoint import batch_id_for, resume_hwm
+from embulk_input_marketo_spark.lake.merge import MergeResult, merge_batch
+from embulk_input_marketo_spark.lake.table import LakeTable
+from embulk_input_marketo_spark.operators.dedup import lww_dedup
+from embulk_input_marketo_spark.operators.windows import bounded_scan, slice_range
+from embulk_input_marketo_spark.registry import SchemaRegistry
+
+
+@dataclass
+class ReplayReport:
+    batches: list[MergeResult] = field(default_factory=list)
+    start_hwm: int = -1
+    end_hwm: int = -1
+
+    @property
+    def rows_merged(self) -> int:
+        """Post-dedup rows that reached the MERGE."""
+        return sum(b.rows_in for b in self.batches if b.applied)
+
+    @property
+    def events_applied(self) -> int:
+        """Raw changelog events consumed (hwm advance) — the throughput
+        numerator for the change-events/sec metric."""
+        return max(self.end_hwm - self.start_hwm, 0)
+
+
+def replay(
+    spark: SparkSession,
+    changelog: DataFrame,
+    table: LakeTable,
+    batch_span: int = 1_000_000,
+    salt_buckets: int | None = 16,
+    registry: SchemaRegistry | None = None,
+    max_batches: int | None = None,
+    on_batch: Callable[[MergeResult], Any] | None = None,
+) -> ReplayReport:
+    """Replay the changelog into the table from the committed checkpoint.
+
+    - The job-start snapshot of ``max(lsn)`` clamps the run (C1): events that
+      arrive mid-replay wait for the next run.
+    - The window splits into ≤``batch_span`` half-open slices (C2); each is
+      LWW-deduped, schema-reconciled and merged with an idempotent batch_id —
+      killing the process anywhere and re-running converges (C3/C7).
+    """
+    hwm = resume_hwm(table)
+    row = changelog.agg(F.max("lsn").alias("mx")).collect()[0]
+    max_lsn = row["mx"] if row["mx"] is not None else -1
+    if max_lsn <= hwm:
+        # skip-batch guard (C7): nothing new, keep state
+        return ReplayReport(start_hwm=hwm, end_hwm=hwm)
+
+    report = ReplayReport(start_hwm=hwm, end_hwm=hwm)
+    for lo, hi in slice_range(hwm, max_lsn, batch_span):
+        if max_batches is not None and len(report.batches) >= max_batches:
+            break
+        if registry is not None:
+            registry.reconcile(table, up_to_lsn=hi)
+
+        window_df = bounded_scan(changelog, lo, hi)
+        m = table.manifest()
+        cur_fields = m.current_schema().fields
+        # inbound rows may still carry pre-rename column names (a source that
+        # lags the registry); translate through the rename log
+        for r in m.renames:
+            if r["old"] in window_df.columns and r["new"] not in window_df.columns:
+                window_df = window_df.withColumnRenamed(r["old"], r["new"])
+        # project to current schema (+op); unknown inbound columns dropped,
+        # missing ones padded with typed nulls, types cast — the
+        # included_fields ∩ describe discipline
+        # (LeadServiceResponseMapperBuilder.java:47-76)
+        proj = []
+        inbound = dict(zip(window_df.columns, window_df.schema.fields))
+        for f_ in cur_fields:
+            if f_.name in inbound:
+                c = F.col(f_.name)
+                if inbound[f_.name].dataType != f_.dataType:
+                    c = c.cast(f_.dataType)
+                proj.append(c.alias(f_.name))
+            else:
+                proj.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        batch = window_df.select(*proj, F.col("op"), F.col("lsn").alias("_lsn"))
+        # pre-reduce to one row per key before the merge touches base data —
+        # shrinks the union the merge reduces over (map-side combine still
+        # applies inside the merge as well)
+        deduped = lww_dedup(
+            batch,
+            key_cols=m.key_col,
+            order_cols=[m.lww_major, "_lsn"],
+            salt_buckets=salt_buckets,
+        )
+        result = merge_batch(
+            spark,
+            table,
+            deduped,
+            batch_id=batch_id_for(table.path, lo, hi),
+            salt_buckets=salt_buckets,
+            checkpoint={"hwm_lsn": hi},
+            lineage={"lsn_lo": lo, "lsn_hi": hi, "source": "changelog"},
+        )
+        report.batches.append(result)
+        if result.applied:
+            report.end_hwm = hi
+        if on_batch:
+            on_batch(result)
+    return report

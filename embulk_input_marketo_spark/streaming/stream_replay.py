@@ -1,0 +1,81 @@
+"""Structured Streaming replay: the changelog tail as a stream.
+
+The reference's pull loop IS a hand-rolled micro-batch stream (SURVEY.md
+§2.7): page-token/offset cursors ≡ source offsets, `Thread.sleep` polling ≡
+trigger, ConfigDiff ≡ checkpoint. Here it's the real thing:
+
+    readStream(changelog dir) → foreachBatch(micro-batch):
+        LWW dedup → manifest-gated MERGE → atomic checkpoint
+
+Exactly-once composes from BOTH layers: Structured Streaming's own
+checkpoint gives at-least-once micro-batch delivery, and the lake's
+batch_id manifest gate makes re-delivered micro-batches no-ops — the same
+idempotence that guards the batch path.
+
+``trigger(availableNow=True)`` drains the backlog and stops — the scheduled
+incremental-run model of the reference, without in-engine sleeps
+(``MarketoRestClient.java:294-326`` polls with Thread.sleep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from embulk_input_marketo_spark.lake.merge import merge_batch
+from embulk_input_marketo_spark.lake.table import LakeTable
+from embulk_input_marketo_spark.operators.dedup import lww_dedup
+
+
+def stream_replay(
+    spark: SparkSession,
+    changelog_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    salt_buckets: int | None = 16,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Run the streaming replay; returns the StreamingQuery."""
+    log_schema = spark.read.parquet(changelog_dir).schema
+    reader = spark.readStream.schema(log_schema)
+    if max_files_per_trigger:
+        # batch-size cap — the reference's rate-limit / batch_size analogue
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(changelog_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        m = table.manifest()
+        data_cols = [f.name for f in m.current_schema().fields]
+        cols = [c for c in data_cols if c in batch_df.columns]
+        missing = [f for f in m.current_schema().fields if f.name not in batch_df.columns]
+        proj = batch_df.select(
+            *[F.col(c) for c in cols],
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            F.col("op"),
+            F.col("lsn").alias("_lsn"),
+        )
+        deduped = lww_dedup(
+            proj,
+            key_cols=m.key_col,
+            order_cols=[m.lww_major, "_lsn"],
+            salt_buckets=salt_buckets,
+        )
+        # epoch-keyed batch_id: Structured Streaming replays an epoch with
+        # identical content, so the manifest gate dedupes re-delivery
+        merge_batch(
+            spark,
+            table,
+            deduped,
+            batch_id=f"stream-epoch-{epoch_id}",
+            salt_buckets=salt_buckets,
+            lineage={"epoch": epoch_id, "source": changelog_dir},
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (BASELINE.md §3).
+
+The authoritative rule needs throughput scaling efficiency ≥0.8 from N to 4N
+executors; no real cluster exists in this sandbox, so we run the IDENTICAL
+replay job at two parallelism levels (default local[8] vs local[32]) on the
+SAME pre-generated changelog and report events/sec at both plus
+efficiency = (throughput_4N / throughput_N) / 4.
+
+Each configuration runs in its own subprocess (fresh JVM) so nothing is
+shared but the input parquet. Timed window = the replay loop only (session
+startup excluded). Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage:
+  python bench/scaling.py                      # orchestrate both runs
+  python bench/scaling.py --worker --cores 8 --log DIR --out FILE
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "3000000"))
+URLS = max(EVENTS // 20, 1000)
+N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+N_BIG = 4 * N_SMALL
+SEED = 42
+
+
+def worker(cores: int, log_dir: str, out_file: str) -> None:
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.functions.compare import content_hash
+    from embulk_input_marketo_spark.generator import expected_final_state
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+    from embulk_input_marketo_spark.session import get_spark
+
+    spark = get_spark(f"scale-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # JVM warm
+
+    log = spark.read.parquet(log_dir)
+    schema = T.StructType(
+        [f for f in log.schema.fields if f.name not in ("lsn", "op", "schema_version")]
+    )
+    work = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    table = LakeTable.create(
+        os.path.join(work, "web_pages"), schema,
+        key_col="url", lww_major="warc_ts", n_buckets=64,
+    )
+    t0 = time.perf_counter()
+    report = replay(spark, log, table, batch_span=max(EVENTS // 8, 1))
+    sec = time.perf_counter() - t0
+
+    # final-state equivalence: engine state hash == oracle hash
+    cols = ["url", "warc_ts", "html", "text", "lang", "text_encoding"]
+    na, ha = content_hash(table.read(spark).select(*cols), cols)
+    ne, he = content_hash(expected_final_state(log).select(*cols), cols)
+
+    result = {
+        "cores": cores,
+        "events": report.events_applied,
+        "rows_merged": report.rows_merged,
+        "sec": round(sec, 3),
+        "events_per_sec": round(report.events_applied / sec, 1),
+        "equivalence_pass": bool(na == ne and ha == he),
+        "state_rows": na,
+    }
+    with open(out_file, "w") as f:
+        json.dump(result, f)
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+def orchestrate() -> None:
+    from embulk_input_marketo_spark.generator import changelog
+    from embulk_input_marketo_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix="scale_input_")
+    log_dir = os.path.join(work, "changelog")
+    spark = get_spark("scale-gen", cores=N_BIG)
+    spark.sparkContext.setLogLevel("ERROR")
+    changelog(spark, EVENTS, URLS, seed=SEED, partitions=N_BIG * 4).write.parquet(log_dir)
+    spark.stop()
+
+    results = {}
+    for cores in (N_SMALL, N_BIG):
+        out = os.path.join(work, f"r{cores}.json")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cores", str(cores), "--log", log_dir, "--out", out],
+            check=True, cwd=REPO,
+        )
+        with open(out) as f:
+            results[cores] = json.load(f)
+
+    small, big = results[N_SMALL], results[N_BIG]
+    eff = (big["events_per_sec"] / small["events_per_sec"]) / (N_BIG / N_SMALL)
+    summary = {
+        "metric": "change-events/sec upsert throughput, two-parallelism scaling",
+        "events": EVENTS,
+        "urls": URLS,
+        "seed": SEED,
+        f"local[{N_SMALL}]": small,
+        f"local[{N_BIG}]": big,
+        "scaling_efficiency": round(eff, 3),
+        "pass_bar": 0.8,
+        "pass": eff >= 0.8,
+        "equivalence_pass": small["equivalence_pass"] and big["equivalence_pass"],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    _write_md(summary)
+    print(json.dumps(summary))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _write_md(s: dict) -> None:
+    import pyspark
+
+    small_k = f"local[{N_SMALL}]"
+    big_k = f"local[{N_BIG}]"
+    md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Protocol per BASELINE.md §3: identical deterministic changelog (seed={s['seed']},
+{s['events']:,} events over {s['urls']:,} urls, zipf-skewed with hot keys,
+20% out-of-order, 2% duplicate delivery), identical code, only `--master`
+parallelism differs. Timed window = the replay loop (window slicing → LWW
+dedup → merge-on-read MERGE with auto-compaction → atomic checkpoint commits),
+JVM/session startup excluded. Each run in a fresh subprocess.
+
+| config | events applied | wall sec | events/sec | final-state equivalence |
+|---|---|---|---|---|
+| {small_k} | {s[small_k]['events']:,} | {s[small_k]['sec']} | {s[small_k]['events_per_sec']:,} | {'PASS' if s[small_k]['equivalence_pass'] else 'FAIL'} |
+| {big_k} | {s[big_k]['events']:,} | {s[big_k]['sec']} | {s[big_k]['events_per_sec']:,} | {'PASS' if s[big_k]['equivalence_pass'] else 'FAIL'} |
+
+**Scaling efficiency** = (throughput_{N_BIG} / throughput_{N_SMALL}) / {N_BIG // N_SMALL}
+= **{s['scaling_efficiency']}** (pass bar ≥ 0.8 → {'PASS' if s['pass'] else 'FAIL'})
+
+Equivalence = engine final state vs independent window-function oracle,
+compared by (row count, order-insensitive xxhash64 content sum) over all
+columns including byte columns.
+
+Config: pyspark {pyspark.__version__}, AQE on (coalesce+skewJoin),
+shuffle.partitions = 2×cores, maxPartitionBytes=128MB, lake n_buckets=64,
+merge mode=mor compact_threshold=8, salt off (map-side partial aggregation
+handles the hot keys; salting available for pathological single-key skew).
+Host: 32 cores, 125 GiB RAM.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--log")
+    ap.add_argument("--out")
+    a = ap.parse_args()
+    if a.worker:
+        worker(a.cores, a.log, a.out)
+    else:
+        orchestrate()

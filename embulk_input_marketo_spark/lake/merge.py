@@ -54,6 +54,7 @@ class MergeResult:
     rows_upserted: int
     rows_deleted: int
     touched_buckets: int
+    compacted_buckets: int = 0
 
 
 def merge_batch(
@@ -63,7 +64,9 @@ def merge_batch(
     batch_id: str,
     op_col: str = "op",
     lsn_col: str = "_lsn",
-    salt_buckets: int | None = 16,
+    salt_buckets: int | None = None,
+    mode: str = "mor",
+    compact_threshold: int = 8,
     checkpoint: dict[str, Any] | None = None,
     lineage: dict[str, Any] | None = None,
 ) -> MergeResult:
@@ -72,17 +75,39 @@ def merge_batch(
     ``batch`` must carry the table's current user-schema columns plus
     ``op_col`` ('I'/'U'/'D') and ``lsn_col`` (unique monotone order minor).
     ``checkpoint`` (e.g. {'hwm_lsn': ...}) commits atomically with the data.
+
+    mode='mor' (merge-on-read, default): the deduped batch APPENDS delta
+    files to its buckets — per-commit cost is O(batch), one shuffle, no read
+    of base data. Buckets whose file count reaches ``compact_threshold`` are
+    folded (old generations + batch LWW-reduced and rewritten) in the SAME
+    commit, bounding read amplification at ``compact_threshold`` generations.
+    mode='cow' (copy-on-write): every touched bucket is folded each commit —
+    cheapest reads, O(touched-bucket data) writes.
+
+    salt_buckets: optional extra pre-split of hot keys. Spark's map-side
+    partial aggregation already caps per-key reducer input at one row per map
+    partition, so the salt phase (an extra shuffle) is only worth it for
+    pathological single-key skew; default off.
     """
     m = table.manifest()
     if batch_id in m.applied_batches:
         return MergeResult(False, m.version, 0, 0, 0, 0)
 
     key = m.key_col
-    data_cols = [f.name for f in m.current_schema().fields]
+    cur_fields = m.current_schema().fields
+    data_cols = [f.name for f in cur_fields]
     full_cols = data_cols + ["_lsn", "_deleted"]
 
+    # align batch columns to the table schema (cast, e.g. inferred long →
+    # declared int) so every data file matches its manifest schema exactly
+    batch_types = dict(zip(batch.columns, [f.dataType for f in batch.schema.fields]))
+    aligned = [
+        (F.col(f.name).cast(f.dataType) if batch_types.get(f.name) != f.dataType
+         else F.col(f.name)).alias(f.name)
+        for f in cur_fields
+    ]
     batch_full = batch.select(
-        *data_cols,
+        *aligned,
         F.col(lsn_col).cast("long").alias("_lsn"),
         (F.col(op_col) == "D").alias("_deleted"),
     ).withColumn("_b", bucket_expr(key, m.n_buckets))
@@ -104,13 +129,26 @@ def merge_batch(
         if rows_in == 0:
             return MergeResult(False, m.version, 0, 0, 0, 0)
 
-        old = table.read(spark, buckets=touched, include_internal=True).withColumn(
-            "_b", bucket_expr(key, m.n_buckets)
-        )
+        # choose which touched buckets to fold (rewrite) vs append to
+        if mode == "cow":
+            fold = set(touched)
+        else:
+            fold = {
+                b for b in touched
+                if len(m.files.get(str(b), [])) + 1 >= compact_threshold
+            }
+
+        to_write = batch_full.select(*full_cols, "_b")
+        if fold:
+            old = table.read(
+                spark, buckets=sorted(fold), include_internal=True
+            ).withColumn("_b", bucket_expr(key, m.n_buckets))
+            to_write = to_write.unionByName(old.select(*full_cols, "_b"))
+        # one LWW reduce: within-batch dedup (idempotent) + fold of old
+        # generations for compacted buckets. Map-side partial aggregation is
+        # the first-line skew defense; salt is available on top.
         merged = lww_dedup(
-            old.select(*full_cols, "_b").unionByName(
-                batch_full.select(*full_cols, "_b")
-            ),
+            to_write,
             key_cols=key,
             order_cols=[m.lww_major, "_lsn"],
             salt_buckets=salt_buckets,
@@ -125,10 +163,14 @@ def merge_batch(
             .parquet(staging)
         )
 
-        new_files = _enumerate_bucket_files(staging, m.schema_version)
+        new_files = _enumerate_bucket_files(staging, m.schema_version, new_version)
         files = dict(m.files)
         for b in touched:
-            files[str(b)] = new_files.get(str(b), [])
+            bk = str(b)
+            if b in fold:
+                files[bk] = new_files.get(bk, [])
+            else:
+                files[bk] = m.files.get(bk, []) + new_files.get(bk, [])
 
         nm = Manifest(
             version=new_version,
@@ -149,13 +191,16 @@ def merge_batch(
                 "rows_upserted": rows_upserted,
                 "rows_deleted": rows_deleted,
                 "touched_buckets": len(touched),
+                "compacted_buckets": len(fold),
+                "mode": mode,
                 "lineage": lineage or {},
             },
             committed_at=time.time(),
         )
         table._write_manifest(nm)
         return MergeResult(
-            True, new_version, rows_in, rows_upserted, rows_deleted, len(touched)
+            True, new_version, rows_in, rows_upserted, rows_deleted,
+            len(touched), compacted_buckets=len(fold),
         )
     finally:
         batch_full.unpersist()
@@ -166,15 +211,18 @@ def vacuum_tombstones(
     table: LakeTable,
     watermark_major: Any,
 ) -> int:
-    """Physically drop tombstones whose LWW-major key (warc_ts) is older than
-    ``watermark_major``: no future event can carry a smaller order key than
-    the lateness watermark, so those deletes can never lose a conflict again.
-    Rewrites every bucket (run occasionally, like Iceberg compaction)."""
+    """Full compaction + tombstone reclaim: fold all merge-on-read
+    generations, then physically drop tombstones whose LWW-major key
+    (warc_ts) is older than ``watermark_major`` — no future event can carry
+    a smaller order key than the lateness watermark, so those deletes can
+    never lose a conflict again. Rewrites every bucket (run occasionally,
+    like Iceberg compaction)."""
     m = table.manifest()
     data_cols = [f.name for f in m.current_schema().fields]
-    full = table.read(spark, include_internal=True).withColumn(
-        "_b", bucket_expr(m.key_col, m.n_buckets)
-    )
+    raw = table.read(spark, include_internal=True)
+    full = lww_dedup(
+        raw, key_cols=m.key_col, order_cols=[m.lww_major, "_lsn"]
+    ).withColumn("_b", bucket_expr(m.key_col, m.n_buckets))
     keep = full.where(
         (~F.col("_deleted")) | (F.col(m.lww_major) >= F.lit(watermark_major))
     )
@@ -187,7 +235,7 @@ def vacuum_tombstones(
         .partitionBy("_b")
         .parquet(staging)
     )
-    files = _enumerate_bucket_files(staging, m.schema_version)
+    files = _enumerate_bucket_files(staging, m.schema_version, new_version)
     nm = Manifest(
         version=new_version,
         parent=m.version,
@@ -207,9 +255,12 @@ def vacuum_tombstones(
     return new_version
 
 
-def _enumerate_bucket_files(staging: str, sv: int) -> dict[str, list[dict]]:
+def _enumerate_bucket_files(staging: str, sv: int, version: int) -> dict[str, list[dict]]:
     """List written parquet files per bucket. Local FS here; on a cluster the
-    same walk goes through the Hadoop FileSystem API."""
+    same walk goes through the Hadoop FileSystem API. Each entry records the
+    schema version (``sv``) that wrote it and the snapshot (``v``) — the
+    read path uses ``v`` to tell single-generation (clean) buckets from
+    multi-generation (merge-on-read) ones."""
     out: dict[str, list[dict]] = {}
     if not os.path.isdir(staging):
         return out
@@ -224,5 +275,5 @@ def _enumerate_bucket_files(staging: str, sv: int) -> dict[str, list[dict]]:
             if f.endswith(".parquet")
         ]
         if paths:
-            out[b] = [{"path": p, "sv": sv} for p in paths]
+            out[b] = [{"path": p, "sv": sv, "v": version} for p in paths]
     return out

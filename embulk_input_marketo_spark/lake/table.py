@@ -44,10 +44,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_TYPE_ALIASES = {"integer": "int", "bigint": "long", "long": "long"}
+
+
+def _norm_type_name(n: str) -> str:
+    return _TYPE_ALIASES.get(n, n)
+
+
+# Iceberg-legal promotions only (no data rewrite required)
 _PROMOTIONS = {
-    ("integer", "long"),
+    ("int", "long"),
     ("float", "double"),
-    ("int", "bigint"),
     ("date", "timestamp"),
 }
 
@@ -169,6 +176,39 @@ class LakeTable:
         return [self.manifest(v) for v in range(self.current_version() + 1)]
 
     # ---------------------------------------------------------------- reads
+    def _read_raw(
+        self,
+        spark: SparkSession,
+        m: Manifest,
+        bucket_keys: set[str],
+    ) -> DataFrame:
+        """Union all file generations of the given buckets, mapped to the
+        current schema + internal columns. May contain multiple versions per
+        key (merge-on-read deltas) and tombstones."""
+        cur_schema = m.current_schema()
+        full_schema = T.StructType(list(cur_schema.fields) + INTERNAL_FIELDS)
+        groups: dict[int, list[str]] = {}
+        for b, entries in m.files.items():
+            if b not in bucket_keys:
+                continue
+            for e in entries:
+                groups.setdefault(int(e["sv"]), []).append(e["path"])
+        if not groups:
+            return spark.createDataFrame([], full_schema)
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(groups.items()):
+            file_schema = T.StructType(
+                list(T.StructType.fromJson(m.schemas[str(sv)]).fields)
+                + INTERNAL_FIELDS
+            )
+            df = spark.read.schema(file_schema).parquet(*paths)
+            df = self._map_to_current(df, sv, m, full_schema)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         spark: SparkSession,
@@ -176,41 +216,38 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_internal: bool = False,
     ) -> DataFrame:
-        """Read a snapshot (optionally only some buckets — the merge path's
-        bucket pruning). Handles schema evolution: files are grouped by the
-        schema_version that wrote them, renamed/cast/padded to the current
-        schema, and unioned. Tombstones are filtered unless
-        ``include_internal`` (the merge path needs them + the order keys)."""
+        """Read a snapshot (optionally only some buckets — bucket pruning).
+
+        Merge-on-read: buckets holding delta files from several commits are
+        LWW-reduced at read time; buckets with a single (already per-key
+        reduced) generation are read directly — no aggregate. Schema
+        evolution handled per file generation (rename/cast/pad).
+
+        ``include_internal``: return the raw multi-generation rows with
+        ``_lsn``/``_deleted`` — the merge/compaction path's input. Otherwise
+        tombstones are filtered and internal columns dropped."""
+        from embulk_input_marketo_spark.operators.dedup import lww_dedup
+
         m = self.manifest(version)
-        cur_schema = m.current_schema()
-        full_schema = T.StructType(list(cur_schema.fields) + INTERNAL_FIELDS)
         wanted = (
             {str(b) for b in buckets} if buckets is not None else set(m.files.keys())
         )
-        groups: dict[int, list[str]] = {}
-        for b, entries in m.files.items():
-            if b not in wanted:
-                continue
-            for e in entries:
-                groups.setdefault(int(e["sv"]), []).append(e["path"])
-
-        if not groups:
-            out = spark.createDataFrame([], full_schema)
-        else:
-            parts: list[DataFrame] = []
-            for sv, paths in sorted(groups.items()):
-                file_schema = T.StructType(
-                    list(T.StructType.fromJson(m.schemas[str(sv)]).fields)
-                    + INTERNAL_FIELDS
-                )
-                df = spark.read.schema(file_schema).parquet(*paths)
-                df = self._map_to_current(df, sv, m, full_schema)
-                parts.append(df)
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
         if include_internal:
-            return out
+            return self._read_raw(spark, m, wanted)
+
+        clean = {
+            b for b in wanted
+            if len({e.get("v", 0) for e in m.files.get(b, [])}) <= 1
+        }
+        dirty = wanted - clean
+        out = self._read_raw(spark, m, clean)
+        if dirty:
+            reduced = lww_dedup(
+                self._read_raw(spark, m, dirty),
+                key_cols=m.key_col,
+                order_cols=[m.lww_major, "_lsn"],
+            )
+            out = out.unionByName(reduced.select(*out.columns))
         return out.where(~F.col("_deleted")).drop("_lsn", "_deleted")
 
     def _map_to_current(
@@ -269,8 +306,8 @@ class LakeTable:
             elif kind == "widen":
                 for i, f_ in enumerate(fields):
                     if f_.name == ch["name"]:
-                        old_t = f_.dataType.simpleString()
-                        new_t = ch["to_type"]
+                        old_t = _norm_type_name(f_.dataType.simpleString())
+                        new_t = _norm_type_name(ch["to_type"])
                         if (old_t, new_t) not in _PROMOTIONS and old_t != new_t:
                             raise ValueError(
                                 f"illegal promotion {old_t} -> {new_t}"

@@ -355,7 +355,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_tumbling_window() -> str:
     return """
-    SELECT date_trunc('day', ts) AS day_start, event_type,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
            COUNT(*) AS n_events
     FROM events GROUP BY 1, 2
     """
@@ -485,7 +485,7 @@ def q_doc_stats_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_doc_stats_bytes() -> str:
     return """
     SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-           substr(encode(text), 1, 4)::VARCHAR AS magic
+           left(text, 4) AS magic
     FROM documents
     """
 
@@ -580,9 +580,6 @@ def _sql_ngram_jaccard_matrix() -> str:
     WITH docs AS (
       SELECT doc_id, regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
       FROM documents WHERE doc_id < 40
-    ), grams AS (
-      SELECT doc_id, DISTINCT ON (doc_id, g) g
-      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS g FROM docs)
     ), grams_d AS (SELECT DISTINCT doc_id, g FROM (
         SELECT doc_id, unnest(string_split(t, ' ')) AS g FROM docs)
     ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams_d GROUP BY doc_id),

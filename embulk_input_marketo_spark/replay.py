@@ -49,7 +49,9 @@ def replay(
     changelog: DataFrame,
     table: LakeTable,
     batch_span: int = 1_000_000,
-    salt_buckets: int | None = 16,
+    salt_buckets: int | None = None,
+    mode: str = "mor",
+    compact_threshold: int = 8,
     registry: SchemaRegistry | None = None,
     max_batches: int | None = None,
     on_batch: Callable[[MergeResult], Any] | None = None,
@@ -114,6 +116,8 @@ def replay(
             deduped,
             batch_id=batch_id_for(table.path, lo, hi),
             salt_buckets=salt_buckets,
+            mode=mode,
+            compact_threshold=compact_threshold,
             checkpoint={"hwm_lsn": hi},
             lineage={"lsn_lo": lo, "lsn_hi": hi, "source": "changelog"},
         )

@@ -1,0 +1,126 @@
+"""Dedup family, LWW reducer properties, text pipeline, similarity search."""
+
+import pyspark.sql.functions as F
+
+from embulk_input_marketo_spark.functions import similarity, textops
+from embulk_input_marketo_spark.operators import dedup_docs
+from embulk_input_marketo_spark.operators.dedup import lww_dedup
+
+
+def test_lww_salted_equals_unsalted(spark):
+    """Salting must not change the winner (associativity/commutativity)."""
+    rows = [
+        ("k1", 10, 1, "a"), ("k1", 10, 2, "b"), ("k1", 9, 3, "c"),
+        ("k2", 5, 4, "d"), ("k2", 6, 1, "e"),
+        ("hot", 1, 5, "x1"), ("hot", 2, 6, "x2"), ("hot", 2, 7, "x3"),
+    ] * 50  # duplicate delivery too
+    df = spark.createDataFrame(rows, ["k", "ts", "lsn", "v"])
+    plain = {r["k"]: (r["ts"], r["lsn"], r["v"])
+             for r in lww_dedup(df, "k", ["ts", "lsn"]).collect()}
+    salted = {r["k"]: (r["ts"], r["lsn"], r["v"])
+              for r in lww_dedup(df, "k", ["ts", "lsn"], salt_buckets=7).collect()}
+    assert plain == salted
+    assert plain["k1"] == (10, 2, "b")      # ts major, lsn tiebreak
+    assert plain["k2"] == (6, 1, "e")       # later ts wins despite smaller lsn
+    assert plain["hot"] == (2, 7, "x3")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "The  cat"), (2, "the cat "), (3, "a dog"), (4, "A DOG"), (5, "unique")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["group_size"] for r in dedup_docs.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 2, 5: 1}
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"  # ~98% shingle overlap
+    far = " ".join(f"q{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in dedup_docs.minhash_lsh_pairs(df, num_hashes=32, bands=16).collect()
+    }
+    assert (1, 2) in pairs            # identical must collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup should land in a band
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+    verified = dedup_docs.ngram_jaccard(
+        spark.createDataFrame(sorted(pairs), ["left_id", "right_id"]), df,
+        n=3, threshold=0.999,
+    )
+    assert {(r["left_id"], r["right_id"]) for r in verified.collect()} == {(1, 2)}
+
+
+def test_simhash_identical_collide_distinct_differ(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota kappa lambda")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_extract_text_byte_identical(spark):
+    html = "<html><head><title>t</title></head><body><p>héllo   wörld</p></body></html>"
+    df = spark.createDataFrame([(1, html.encode("utf-8"))], ["id", "html"])
+    out = df.select(textops.extract_text("html").alias("t")).collect()[0]["t"]
+    assert out == "t héllo wörld"
+    assert out.encode("utf-8") == "t héllo wörld".encode("utf-8")
+    # null-safe
+    df2 = spark.createDataFrame([(1, None)], "id: long, html: binary")
+    assert df2.select(textops.extract_text("html").alias("t")).collect()[0]["t"] is None
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog!  "), (2, "")],
+                               ["id", "text"])
+    out = df.select(
+        textops.token_count("text").alias("n"),
+        textops.lang_id("text").alias("lang"),
+        textops.quality_score("text").alias("q"),
+    ).collect()
+    assert out[0]["n"] == 5
+    assert out[0]["lang"] == "en"
+    assert 0.0 <= out[0]["q"] <= 1.0
+    assert out[1]["n"] == 0 and out[1]["lang"] == "und"
+
+
+def test_brute_force_topk_and_ann(spark):
+    import math
+
+    vecs = [(i, [math.cos(i * 0.1 + d) for d in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.brute_force_topk(emb, q, k=5)
+    rows = top.orderBy("rnk").collect()
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cos_sim"] - 1.0) < 1e-6
+    assert len(rows) == 5
+    ann = similarity.ann_topk(emb, q, dim=8, k=5, n_planes=6)
+    arows = ann.orderBy("rnk").collect()
+    assert arows and arows[0]["vec_id"] == 0  # the query itself always shares its bucket
+
+
+def test_multimodal_plumbing(spark):
+    from embulk_input_marketo_spark.functions.multimodal import (
+        binary_metadata,
+        decode_and_featurize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNGxxxx"), (2, b"ab"), (3, None)], "doc_id: long, payload: binary"
+    )
+    meta = {r["doc_id"]: r for r in binary_metadata(df, "payload").collect()}
+    assert meta[1]["n_bytes"] == 8 and meta[2]["n_bytes"] == 2
+    assert meta[3]["n_bytes"] is None
+    dec = {r["doc_id"]: r for r in
+           decode_and_featurize_images(df, "payload").collect()}
+    assert dec[1]["n_channels"] == 3 and len(dec[1]["features"]) == 8
+    assert dec[3]["width"] is None

@@ -44,12 +44,24 @@ def _assert_state_equals_oracle(spark, table, changelog_df):
     assert text_bytes_comparator(actual, expected).count() == 0
 
 
-def test_full_replay_matches_oracle(spark, changelog, tmp_path):
+@pytest.mark.parametrize("mode,compact_threshold", [
+    ("mor", 8),   # pure append: 4 batches < threshold → read-time reduce
+    ("mor", 3),   # auto-compaction kicks in mid-replay
+    ("cow", 8),   # copy-on-write folds every batch
+])
+def test_full_replay_matches_oracle(spark, changelog, tmp_path, mode,
+                                    compact_threshold):
     table = LakeTable.create(str(tmp_path / "web_pages"), _schema(changelog),
                              key_col="url", n_buckets=16)
-    report = replay(spark, changelog, table, batch_span=6_000, salt_buckets=8)
+    report = replay(spark, changelog, table, batch_span=6_000, salt_buckets=8,
+                    mode=mode, compact_threshold=compact_threshold)
     assert len(report.batches) == 4  # ceil((N-1 - (-1)) / 6000) slices of (hwm, max]
     assert all(b.applied for b in report.batches)
+    if mode == "cow":
+        assert all(b.compacted_buckets == b.touched_buckets for b in report.batches)
+    if mode == "mor" and compact_threshold == 3:
+        assert any(b.compacted_buckets > 0 for b in report.batches)
+    assert report.events_applied == N_EVENTS
     _assert_state_equals_oracle(spark, table, changelog)
 
 

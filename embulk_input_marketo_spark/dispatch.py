@@ -1,0 +1,167 @@
+"""Target dispatcher — one entry point, 8 ingestion pipelines (S1).
+
+The reference routes a ``target`` config to one of 8 delegates
+(``MarketoInputPluginDelegate.java:56-102``). Here each target is a builder
+returning the configured pipeline over the engine's tables; a user of the
+reference switches by keeping the same target names.
+
+Mapping (reference pipeline → engine realization):
+- lead / activity / program_members: incremental bulk extract → bounded
+  lsn-window replay into the lake (activity adds its op/type filter pushed
+  into the scan; program_members fans out per parent id — Spark partitions
+  replace the ≤2-job thread pool)
+- campaign / custom_object: token/offset paginated pulls → plain bounded
+  scans (pagination adapters available in sources.paginated)
+- all_lead_with_list_id / all_lead_with_program_id: fan-out enrichment join
+  stamping the parent key
+- program: sliding updatedAt window (earliest := latest + 1s advance)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from embulk_input_marketo_spark.operators.enrich import fanout_join
+from embulk_input_marketo_spark.operators.sanitize import valid_ids
+from embulk_input_marketo_spark.operators.windows import bounded_scan
+
+
+@dataclass
+class TargetConfig:
+    """The PluginTask analogue: validated config-as-plan."""
+    target: str
+    from_lsn: int = -1
+    to_lsn: int | None = None
+    incremental: bool = True
+    incremental_column: str = "lsn"      # createdAt analogue; the only legal watermark
+    op_filter: list[str] | None = None   # activity_type_ids analogue
+    parent_ids: list[str] | None = None  # list/program ids
+    included_fields: list[str] | None = None
+    column_prefix: str = "mk"            # schema_column_prefix default 'mk'
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def validate(cfg: TargetConfig, max_lsn_snapshot: int) -> TargetConfig:
+    """Config validation the reference does per transaction:
+    - from in the future → error (MarketoBaseBulkExtractInputPlugin.java:95-99)
+    - a non-monotone column cannot be the incremental watermark — the
+      updatedAt+incremental rejection (:102-106)
+    """
+    if cfg.from_lsn > max_lsn_snapshot:
+        raise ConfigError(
+            f"from_lsn {cfg.from_lsn} is beyond the job-start snapshot "
+            f"{max_lsn_snapshot} (from_date in the future)"
+        )
+    if cfg.incremental and cfg.incremental_column != "lsn":
+        raise ConfigError(
+            f"incremental_column '{cfg.incremental_column}' is not monotone; "
+            "only the log-sequence-number can be the incremental watermark "
+            "(the reference forbids updatedAt the same way)"
+        )
+    return cfg
+
+
+def _window(changelog: DataFrame, cfg: TargetConfig, max_lsn: int) -> DataFrame:
+    hi = min(cfg.to_lsn, max_lsn) if cfg.to_lsn is not None else max_lsn
+    return bounded_scan(changelog, cfg.from_lsn, hi)
+
+
+def _prefix(df: DataFrame, cfg: TargetConfig, keep: set[str]) -> DataFrame:
+    """Dynamic-column prefix discipline: prefix + '_' + name
+    (MarketoUtils.buildColumnName:95-98), key columns kept verbatim."""
+    return df.select(
+        *[
+            F.col(c).alias(c if c in keep else f"{cfg.column_prefix}_{c}")
+            for c in df.columns
+        ]
+    )
+
+
+def _project(df: DataFrame, cfg: TargetConfig) -> DataFrame:
+    """included_fields ∩ available, case-insensitive, silently keeping the
+    survivors (LeadServiceResponseMapperBuilder.java:47-76)."""
+    if not cfg.included_fields:
+        return df
+    wanted = {f.lower() for f in cfg.included_fields}
+    cols = [c for c in df.columns if c.lower() in wanted]
+    return df.select(*cols)
+
+
+def target_lead(spark: SparkSession, changelog: DataFrame, cfg: TargetConfig,
+                max_lsn: int) -> DataFrame:
+    return _project(_window(changelog, cfg, max_lsn), cfg)
+
+
+def target_activity(spark: SparkSession, changelog: DataFrame, cfg: TargetConfig,
+                    max_lsn: int) -> DataFrame:
+    df = _window(changelog, cfg, max_lsn)
+    if cfg.op_filter:
+        df = df.where(F.col("op").isin(cfg.op_filter))  # pushed to scan
+    return _project(df, cfg)
+
+
+def target_with_parent(parent_col: str):
+    def build(spark: SparkSession, changelog: DataFrame, cfg: TargetConfig,
+              max_lsn: int) -> DataFrame:
+        ids = [s.strip() for s in (cfg.parent_ids or []) if s.strip()]
+        parents = spark.createDataFrame([(i,) for i in ids], [parent_col])
+        parents = valid_ids(parents, parent_col)
+        children = _window(changelog, cfg, max_lsn).withColumn(
+            parent_col,
+            F.pmod(F.xxhash64("url"), F.lit(1000)).cast("string"),
+        )
+        return fanout_join(children, parents, on=parent_col)
+
+    return build
+
+
+def target_program(spark: SparkSession, changelog: DataFrame, cfg: TargetConfig,
+                   max_lsn: int) -> DataFrame:
+    # sliding business-time window: (earliest, latest] by warc_ts
+    earliest = cfg.extra.get("earliest_updated_at")
+    latest = cfg.extra.get("latest_updated_at")
+    if earliest is None or latest is None:
+        raise ConfigError("program target requires earliest/latest_updated_at")
+    if earliest >= latest:
+        raise ConfigError("earliest_updated_at must precede latest_updated_at")
+    return changelog.where(
+        (F.col("warc_ts") > F.lit(earliest)) & (F.col("warc_ts") <= F.lit(latest))
+    )
+
+
+TARGETS: dict[str, Callable[..., DataFrame]] = {
+    "lead": target_lead,
+    "activity": target_activity,
+    "campaign": target_lead,                 # paginated pull ≡ bounded scan
+    "custom_object": target_lead,
+    "program_members": target_lead,          # per-parent exports ≡ partitions
+    "all_lead_with_list_id": target_with_parent("listId"),
+    "all_lead_with_program_id": target_with_parent("programId"),
+    "program": target_program,
+}
+
+
+def dispatch(spark: SparkSession, changelog: DataFrame, cfg: TargetConfig) -> DataFrame:
+    if cfg.target not in TARGETS:
+        raise ConfigError(f"unknown target '{cfg.target}'")
+    row = changelog.agg(F.max("lsn").alias("mx")).collect()[0]
+    max_lsn = row["mx"] if row["mx"] is not None else -1
+    validate(cfg, max_lsn)
+    return TARGETS[cfg.target](spark, changelog, cfg, max_lsn)
+
+
+def advance_sliding_window(earliest, latest):
+    """Program watermark advance: earliest := latest + 1s, duration preserved
+    (ProgramInputPlugin.java:182-201)."""
+    import datetime
+
+    duration = latest - earliest
+    return latest + datetime.timedelta(seconds=1), duration

@@ -92,17 +92,13 @@ _STOPWORDS = {
 
 
 def stopword_hits(col: Column | str, lang: str) -> Column:
-    """Count of stopword occurrences (word-boundary) for a language."""
+    """Count of stopword occurrences (word-boundary) for a language: ONE
+    alternation regex per language via split-count (occurrences = number of
+    split points), not one regexp_replace per word — 4 regex passes over the
+    corpus instead of 20."""
     c = F.col(col) if isinstance(col, str) else col
-    hits = F.lit(0).cast("long")
-    for w in _STOPWORDS[lang]:
-        pat = rf"\b{w}\b"
-        # occurrences = (len - len(removed)) / len(word)
-        occ = (
-            (F.length(c) - F.length(F.regexp_replace(c, pat, ""))) / F.lit(len(w))
-        ).cast("long")
-        hits = hits + occ
-    return hits
+    pat = r"\b(" + "|".join(_STOPWORDS[lang]) + r")\b"
+    return (F.size(F.split(c, pat)) - 1).cast("long")
 
 
 def quality_score(col: Column | str) -> Column:

@@ -26,17 +26,47 @@ def normalize_text(col) -> F.Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
-def shingles(col, n: int = 5) -> F.Column:
-    """Word n-gram (shingle) array from normalized text, JVM-side: split →
-    sliding windows via transform over an index sequence."""
-    words = F.split(normalize_text(col), " ")
+def shingles_from_words(words, n: int = 5) -> F.Column:
+    """Word n-gram (shingle) array from a words-array column, JVM-side:
+    sliding windows via transform over an index sequence. Each window is n
+    O(1) element_at lookups — NOT slice(words, i, n), which re-copies and
+    makes the whole array O(words²) per row.
+
+    IMPORTANT: pass an *attribute* (a materialized column), not an inline
+    split(...) expression — the words expression is referenced n+2 times per
+    window and interpreted evaluation (HOF lambdas are never codegen'd) has
+    no common-subexpression elimination, so an inline expression would be
+    recomputed for every reference."""
+    words = F.col(words) if isinstance(words, str) else words
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), k - F.lit(1))
     return F.when(
         F.size(words) < n, F.array(F.concat_ws(" ", words))
     ).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + 1 + j).cast("int")) for j in range(n)]
+            ),
+        )
     )
+
+
+def words_barrier(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """Project the normalized words array behind a shuffle barrier so
+    downstream shingle windows read a physical column (see
+    shingles_from_words). Also spreads a few-file input across the session's
+    parallelism — the shingle/hash work is CPU-bound per row."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(
+        *keep, F.split(normalize_text(text_col), " ").alias("_words")
+    ).repartition(n_parts)
+
+
+def shingles(col, n: int = 5) -> F.Column:
+    """Convenience inline form (single-reference contexts only — see
+    shingles_from_words for why hot paths must materialize words first)."""
+    return shingles_from_words(F.split(normalize_text(col), " "), n)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -61,17 +91,35 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(shingle, i).
-    Computed as array expressions — one pass, no explode, no shuffle."""
-    sh = shingles(text_col, shingle_n).alias("_sh")
-    mins = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed + i)))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+
+    One nested higher-order expression — transform over the hash-index
+    sequence of array_min over the shingles — instead of K inlined
+    projections: K separate array_min(transform(...)) expressions blow the
+    whole-stage-codegen method size (Janino compile failure → interpreted
+    fallback, ~10× slower). One pass, no explode, no shuffle."""
+    # hash each shingle string ONCE to a long; the K family members then
+    # hash that 8-byte long (far cheaper than re-hashing the string K times)
+    sh = F.transform(
+        shingles_from_words(F.col("_words"), shingle_n), lambda s: F.xxhash64(s)
+    ).alias("_sh")
+    mins = F.transform(
+        F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("_sh"), lambda h: F.xxhash64(h, i))
+        ),
     ).alias("minhash")
-    return df.select(F.col(id_col), sh).select(id_col, mins)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # each repartition is a MATERIALIZATION BARRIER, not (only) load
+    # balancing: CollapseProject would otherwise inline the previous stage's
+    # expression into every lambda that references it — HOF lambdas get no
+    # common-subexpression elimination, so words/shingles would be recomputed
+    # per reference (observed ~30x slowdown end-to-end).
+    return (
+        words_barrier(df, text_col, keep=[id_col])
+        .select(F.col(id_col), sh)
+        .repartition(n_parts)
+        .select(id_col, mins)
+    )
 
 
 def minhash_lsh_pairs(
@@ -82,66 +130,101 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 5,
     seed: int = 42,
+    max_bucket_size: int = 1000,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     signature → `bands` bands of `num_hashes/bands` rows; docs sharing any
-    band hash become a candidate pair. The self-join runs on
-    (band_id, band_hash) so the shuffle is bucket-local; hot buckets (boiler-
-    plate text) are handled by AQE skew-join at scale."""
+    band hash become a candidate pair. Pair generation is ONE pass: group by
+    (band_id, band_hash), collect the (sorted) member ids, expand the pairs
+    with array expressions — no self-join, so the expensive signature
+    projection is computed exactly once and the only shuffle is the groupBy.
+
+    Skew guard: buckets larger than ``max_bucket_size`` (boilerplate that
+    would explode quadratically) are skipped — those groups are exact-dup
+    territory, which ``exact_dedup`` handles at O(n).
+
+    The signature projection is CPU-bound per row (HOFs are interpreted, not
+    codegen'd), so the input is repartitioned to the session's parallelism
+    first — a single small parquet file must not pin the work to 2 cores."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    banded = sig.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.get(F.col("minhash"), b * rows_per_band + r).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    # signatures repartition internally (materialization barrier + balance);
+    # one more barrier here so banding reads `minhash` as a physical column
+    # instead of CollapseProject re-inlining the signature per band
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, seed
+    ).repartition(n_parts)
+    # band hash = hash of the band's slice of the signature, via one nested
+    # transform (codegen-friendly, see minhash_signatures)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                    lambda h: h.cast("string"),
+                ),
             )
-        ).alias("band_id", "band_hash"),
+        ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    banded = sig.select(
+        id_col, F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+    groups = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .where(
+            (F.size("_ids") > 1) & (F.size("_ids") <= max_bucket_size)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("left_id"),
-            F.col(f"b.{id_col}").alias("right_id"),
+    )
+    # expand each bucket's id array into its ordered pairs: for element i,
+    # pair it with every later element (ids sorted → left < right)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("l"), y.alias("r")),
+            ),
         )
+    )
+    return (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.l").alias("left_id"), F.col("p.r").alias("right_id"))
         .distinct()
     )
-    return pairs
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             shingle_n: int = 2, seed: int = 7) -> DataFrame:
     """64-bit SimHash per doc: sum of ±1 per bit over shingle hashes, sign →
-    bit. Pure array expressions (aggregate over bit positions)."""
-    sh = shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
+    bit. Pure array expressions (aggregate over bit positions). The shingle
+    hashes are materialized behind a shuffle barrier so the 64 per-bit
+    aggregates read a physical column instead of re-computing the shingle
+    pipeline 64 times (CollapseProject + no CSE in HOF lambdas)."""
+    hashes = F.transform(
+        shingles_from_words(F.col("_words"), shingle_n),
+        lambda s: F.xxhash64(s, F.lit(seed)),
+    ).alias("_h")
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    hashed = (
+        words_barrier(df, text_col, keep=[id_col])
+        .select(F.col(id_col), hashes)
+        .repartition(n_parts)
+    )
+    h = F.col("_h")
     # bit b of signature = 1 iff sum over hashes of sign(bit b) > 0
     bits = [
         (
             F.aggregate(
-                hashes,
+                h,
                 F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+                lambda acc, hh: acc
+                + F.when(F.shiftright(hh, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
             )
             > 0
         ).cast("long")
@@ -150,7 +233,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sig = bits[0]
     for i in range(1, 64):
         sig = sig + F.shiftleft(bits[i], i)
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def ngram_jaccard(
@@ -163,8 +246,9 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs. Docs join in
     twice (broadcast when small; at scale, sort-merge on the id)."""
-    grams = docs.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("_g")
+    grams = words_barrier(docs, text_col, keep=[id_col]).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_words(F.col("_words"), n)).alias("_g"),
     )
     j = (
         pairs.join(grams.withColumnRenamed(id_col, "left_id")

@@ -33,3 +33,15 @@ def missing_ids(requested: DataFrame, actual: DataFrame, col: str = "id") -> Dat
     """Requested ids the system doesn't know — the reference's warn-on-missing
     loop (``:139-161``) as a left-anti join."""
     return requested.join(actual, on=col, how="left_anti")
+
+
+def split_valid_invalid(
+    df: DataFrame, error_col: str = "reasons"
+) -> tuple[DataFrame, DataFrame]:
+    """Row filter for invalid records (P8): drop records carrying an error
+    node and keep them as a side output for logging/auditing — the
+    reference's drop-and-warn (``CustomObjectInputPlugin.java:102-111``),
+    with the rejects as a real DataFrame instead of log lines."""
+    valid = df.where(F.col(error_col).isNull()).drop(error_col)
+    rejects = df.where(F.col(error_col).isNotNull())
+    return valid, rejects

@@ -413,14 +413,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lang_id() -> str:
-    # mirror of textops._STOPWORDS scoring with strictly-greater argmax
+    # mirror of textops._STOPWORDS scoring with strictly-greater argmax:
+    # hits = split-count on one alternation regex per language
     def hits(lang_words):
-        parts = []
-        for w in lang_words:
-            parts.append(
-                f"CAST((length(t) - length(regexp_replace(t, '\\b{w}\\b', '', 'g'))) / {len(w)} AS BIGINT)"
-            )
-        return " + ".join(parts)
+        alt = "|".join(lang_words)
+        return (
+            f"CAST(len(regexp_split_to_array(t, '\\b({alt})\\b')) - 1 AS BIGINT)"
+        )
 
     from embulk_input_marketo_spark.functions.textops import _STOPWORDS
 
@@ -641,6 +640,83 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bounded candidate set): the
+    exact-verification stage of embedding dedup; the LSH-bucketed variant
+    (ann path) generates candidates at scale."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = emb.select(F.col("vec_id").alias("left_id"), F.col("v").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("right_id"), F.col("v").alias("_vb"))
+    pairs = a.crossJoin(b).where(F.col("left_id") < F.col("right_id"))
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6)
+        )
+        .where(F.col("cos_sim") >= 0.85)
+        .select("left_id", "right_id", "cos_sim")
+    )
+
+
+def _sql_embedding_near_dup() -> str:
+    return """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 200)
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.85
+    """
+
+
+def q_invalid_record_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid-record row filter with side output (P8): events whose props
+    fail to parse are rejected; the query returns per-type counts of valid
+    vs rejected (rejects carry a 'reasons' marker)."""
+    from embulk_input_marketo_spark.operators.sanitize import split_valid_invalid
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    flagged = ev.withColumn(
+        "reasons",
+        F.when(k.isNull(), F.lit("missing k"))
+        .when(k >= 90, F.lit("k out of range"))
+        .otherwise(F.lit(None)),
+    )
+    valid, rejects = split_valid_invalid(flagged)
+    return (
+        valid.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_valid"))
+        .join(
+            rejects.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rejected")),
+            on="event_type", how="left",
+        )
+        .select(
+            "event_type", "n_valid",
+            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        )
+    )
+
+
+def _sql_invalid_record_filter() -> str:
+    return """
+    WITH f AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE k IS NOT NULL AND k < 90) AS n_valid,
+           COUNT(*) FILTER (WHERE k IS NULL OR k >= 90) AS n_rejected
+    FROM f GROUP BY event_type
+    """
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FNV-1a rolling-hash document fingerprints (pandas UDF) — duplicates
     collide; aggregated group profile (rows-only check)."""
@@ -677,6 +753,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_groups": q_simhash,
     "ngram_jaccard_matrix": q_ngram_jaccard_matrix,
     "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "invalid_record_filter": q_invalid_record_filter,
     "ann_topk": q_ann_topk,
     "fingerprint_groups": q_fingerprints,
 }
@@ -702,5 +780,7 @@ ORACLES: dict[str, str] = {
     "minhash_dedup_pairs": _sql_minhash_dedup_pairs(),
     "ngram_jaccard_matrix": _sql_ngram_jaccard_matrix(),
     "embedding_topk": _sql_embedding_topk(),
+    "embedding_near_dup": _sql_embedding_near_dup(),
+    "invalid_record_filter": _sql_invalid_record_filter(),
     # rows-only (no SQL oracle): simhash_groups, ann_topk, fingerprint_groups
 }

@@ -111,9 +111,97 @@ def merge_batch(
         F.col(lsn_col).cast("long").alias("_lsn"),
         (F.col(op_col) == "D").alias("_deleted"),
     ).withColumn("_b", bucket_expr(key, m.n_buckets))
+
+    if mode == "cow":
+        return _merge_cow(
+            spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
+            checkpoint, lineage,
+        )
+
+    # ---- merge-on-read: ONE Spark job per batch ---------------------------
+    # metrics ride on the write job via Observation (no separate stats pass,
+    # no cache); touched buckets fall out of the staged directory listing.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    deduped = lww_dedup(
+        batch_full.select(*full_cols, "_b").observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count_if(F.col("_deleted")).alias("rows_deleted"),
+        ),
+        key_cols=key,
+        order_cols=[m.lww_major, "_lsn"],
+        salt_buckets=salt_buckets,
+    )
+    new_version = m.version + 1
+    staging = table.snapshot_staging_dir(new_version)
+    (
+        deduped.repartition(F.col("_b"))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(staging)
+    )
+    got = obs.get
+    rows_in = int(got["rows_in"])
+    rows_deleted = int(got["rows_deleted"])
+    if rows_in == 0:
+        return MergeResult(False, m.version, 0, 0, 0, 0)
+
+    new_files = _enumerate_bucket_files(staging, m.schema_version, new_version)
+    touched = sorted(int(b) for b in new_files)
+    files = dict(m.files)
+    for bk, entries in new_files.items():
+        files[bk] = m.files.get(bk, []) + entries
+
+    nm = Manifest(
+        version=new_version,
+        parent=m.version,
+        key_col=m.key_col,
+        lww_major=m.lww_major,
+        n_buckets=m.n_buckets,
+        schema_version=m.schema_version,
+        schemas=m.schemas,
+        renames=m.renames,
+        files=files,
+        applied_batches=m.applied_batches + [batch_id],
+        checkpoint={**m.checkpoint, **(checkpoint or {})},
+        summary={
+            "operation": "merge",
+            "batch_id": batch_id,
+            "rows_in": rows_in,
+            "rows_upserted": rows_in - rows_deleted,
+            "rows_deleted": rows_deleted,
+            "touched_buckets": len(touched),
+            "mode": mode,
+            "lineage": lineage or {},
+        },
+        committed_at=time.time(),
+    )
+    table._write_manifest(nm)
+
+    # auto-compaction: buckets past the read-amplification bound get folded
+    # in a follow-up commit (idempotent rewrite — crashing between the two
+    # commits loses nothing, the next merge re-triggers it)
+    over = [b for b in touched if len(files[str(b)]) >= compact_threshold]
+    version = nm.version
+    if over:
+        version = compact_buckets(spark, table, over, salt_buckets)
+
+    return MergeResult(
+        True, version, rows_in, rows_in - rows_deleted, rows_deleted,
+        len(touched), compacted_buckets=len(over),
+    )
+
+
+def _merge_cow(
+    spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
+    checkpoint, lineage,
+) -> MergeResult:
+    """Copy-on-write path: every touched bucket folds each commit."""
+    key = m.key_col
     batch_full.persist()
     try:
-        # touched buckets + batch metrics in ONE action (tiny result set)
         stats = (
             batch_full.groupBy("_b")
             .agg(
@@ -125,35 +213,20 @@ def merge_batch(
         touched = sorted(r["_b"] for r in stats)
         rows_in = int(sum(r["n"] for r in stats))
         rows_deleted = int(sum(r["d"] for r in stats))
-        rows_upserted = rows_in - rows_deleted
         if rows_in == 0:
             return MergeResult(False, m.version, 0, 0, 0, 0)
 
-        # choose which touched buckets to fold (rewrite) vs append to
-        if mode == "cow":
-            fold = set(touched)
-        else:
-            fold = {
-                b for b in touched
-                if len(m.files.get(str(b), [])) + 1 >= compact_threshold
-            }
-
-        to_write = batch_full.select(*full_cols, "_b")
-        if fold:
-            old = table.read(
-                spark, buckets=sorted(fold), include_internal=True
-            ).withColumn("_b", bucket_expr(key, m.n_buckets))
-            to_write = to_write.unionByName(old.select(*full_cols, "_b"))
-        # one LWW reduce: within-batch dedup (idempotent) + fold of old
-        # generations for compacted buckets. Map-side partial aggregation is
-        # the first-line skew defense; salt is available on top.
+        old = table.read(
+            spark, buckets=touched, include_internal=True
+        ).withColumn("_b", bucket_expr(key, m.n_buckets))
         merged = lww_dedup(
-            to_write,
+            batch_full.select(*full_cols, "_b").unionByName(
+                old.select(*full_cols, "_b")
+            ),
             key_cols=key,
             order_cols=[m.lww_major, "_lsn"],
             salt_buckets=salt_buckets,
         )
-
         new_version = m.version + 1
         staging = table.snapshot_staging_dir(new_version)
         (
@@ -162,16 +235,10 @@ def merge_batch(
             .partitionBy("_b")
             .parquet(staging)
         )
-
         new_files = _enumerate_bucket_files(staging, m.schema_version, new_version)
         files = dict(m.files)
         for b in touched:
-            bk = str(b)
-            if b in fold:
-                files[bk] = new_files.get(bk, [])
-            else:
-                files[bk] = m.files.get(bk, []) + new_files.get(bk, [])
-
+            files[str(b)] = new_files.get(str(b), [])
         nm = Manifest(
             version=new_version,
             parent=m.version,
@@ -188,22 +255,74 @@ def merge_batch(
                 "operation": "merge",
                 "batch_id": batch_id,
                 "rows_in": rows_in,
-                "rows_upserted": rows_upserted,
+                "rows_upserted": rows_in - rows_deleted,
                 "rows_deleted": rows_deleted,
                 "touched_buckets": len(touched),
-                "compacted_buckets": len(fold),
-                "mode": mode,
+                "compacted_buckets": len(touched),
+                "mode": "cow",
                 "lineage": lineage or {},
             },
             committed_at=time.time(),
         )
         table._write_manifest(nm)
         return MergeResult(
-            True, new_version, rows_in, rows_upserted, rows_deleted,
-            len(touched), compacted_buckets=len(fold),
+            True, new_version, rows_in, rows_in - rows_deleted, rows_deleted,
+            len(touched), compacted_buckets=len(touched),
         )
     finally:
         batch_full.unpersist()
+
+
+def compact_buckets(
+    spark: SparkSession,
+    table: LakeTable,
+    buckets: list[int],
+    salt_buckets: int | None = None,
+) -> int:
+    """Fold the given buckets' delta generations into one reduced generation
+    (metadata + data rewrite of ONLY those buckets). Idempotent; keeps
+    tombstones (vacuum_tombstones reclaims those)."""
+    m = table.manifest()
+    data_cols = [f.name for f in m.current_schema().fields]
+    full_cols = data_cols + ["_lsn", "_deleted"]
+    raw = table.read(spark, buckets=buckets, include_internal=True).withColumn(
+        "_b", bucket_expr(m.key_col, m.n_buckets)
+    )
+    reduced = lww_dedup(
+        raw.select(*full_cols, "_b"),
+        key_cols=m.key_col,
+        order_cols=[m.lww_major, "_lsn"],
+        salt_buckets=salt_buckets,
+    )
+    new_version = m.version + 1
+    staging = table.snapshot_staging_dir(new_version)
+    (
+        reduced.repartition(max(len(buckets), 1), F.col("_b"))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(staging)
+    )
+    new_files = _enumerate_bucket_files(staging, m.schema_version, new_version)
+    files = dict(m.files)
+    for b in buckets:
+        files[str(b)] = new_files.get(str(b), [])
+    nm = Manifest(
+        version=new_version,
+        parent=m.version,
+        key_col=m.key_col,
+        lww_major=m.lww_major,
+        n_buckets=m.n_buckets,
+        schema_version=m.schema_version,
+        schemas=m.schemas,
+        renames=m.renames,
+        files=files,
+        applied_batches=m.applied_batches,
+        checkpoint=m.checkpoint,
+        summary={"operation": "compact", "buckets": [int(b) for b in buckets]},
+        committed_at=time.time(),
+    )
+    table._write_manifest(nm)
+    return new_version
 
 
 def vacuum_tombstones(

@@ -67,6 +67,7 @@ def merge_batch(
     salt_buckets: int | None = None,
     mode: str = "mor",
     compact_threshold: int = 8,
+    pre_reduce: bool = False,
     checkpoint: dict[str, Any] | None = None,
     lineage: dict[str, Any] | None = None,
 ) -> MergeResult:
@@ -118,26 +119,30 @@ def merge_batch(
             checkpoint, lineage,
         )
 
-    # ---- merge-on-read: ONE Spark job per batch ---------------------------
-    # metrics ride on the write job via Observation (no separate stats pass,
-    # no cache); touched buckets fall out of the staged directory listing.
+    # ---- merge-on-read: ONE Spark job, ONE shuffle per batch --------------
+    # LSM-style ingest: the batch appends as-is (no per-batch dedup — the
+    # threshold-triggered compaction reduces generations in bulk, where the
+    # work amortizes and parallelizes). The only shuffle is the layout
+    # repartition by bucket; metrics ride on the write job via Observation.
     from pyspark.sql import Observation
 
     obs = Observation()
-    deduped = lww_dedup(
-        batch_full.select(*full_cols, "_b").observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_in"),
-            F.count_if(F.col("_deleted")).alias("rows_deleted"),
-        ),
-        key_cols=key,
-        order_cols=[m.lww_major, "_lsn"],
-        salt_buckets=salt_buckets,
+    to_write = batch_full.select(*full_cols, "_b").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count_if(F.col("_deleted")).alias("rows_deleted"),
     )
+    if pre_reduce:
+        to_write = lww_dedup(
+            to_write,
+            key_cols=key,
+            order_cols=[m.lww_major, "_lsn"],
+            salt_buckets=salt_buckets,
+        )
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
     (
-        deduped.repartition(F.col("_b"))
+        to_write.repartition(F.col("_b"))
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(staging)
@@ -148,7 +153,9 @@ def merge_batch(
     if rows_in == 0:
         return MergeResult(False, m.version, 0, 0, 0, 0)
 
-    new_files = _enumerate_bucket_files(staging, m.schema_version, new_version)
+    new_files = _enumerate_bucket_files(
+        staging, m.schema_version, new_version, reduced=pre_reduce
+    )
     touched = sorted(int(b) for b in new_files)
     files = dict(m.files)
     for bk, entries in new_files.items():
@@ -235,7 +242,9 @@ def _merge_cow(
             .partitionBy("_b")
             .parquet(staging)
         )
-        new_files = _enumerate_bucket_files(staging, m.schema_version, new_version)
+        new_files = _enumerate_bucket_files(
+            staging, m.schema_version, new_version, reduced=True
+        )
         files = dict(m.files)
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
@@ -302,7 +311,9 @@ def compact_buckets(
         .partitionBy("_b")
         .parquet(staging)
     )
-    new_files = _enumerate_bucket_files(staging, m.schema_version, new_version)
+    new_files = _enumerate_bucket_files(
+        staging, m.schema_version, new_version, reduced=True
+    )
     files = dict(m.files)
     for b in buckets:
         files[str(b)] = new_files.get(str(b), [])
@@ -354,7 +365,9 @@ def vacuum_tombstones(
         .partitionBy("_b")
         .parquet(staging)
     )
-    files = _enumerate_bucket_files(staging, m.schema_version, new_version)
+    files = _enumerate_bucket_files(
+        staging, m.schema_version, new_version, reduced=True
+    )
     nm = Manifest(
         version=new_version,
         parent=m.version,
@@ -374,7 +387,9 @@ def vacuum_tombstones(
     return new_version
 
 
-def _enumerate_bucket_files(staging: str, sv: int, version: int) -> dict[str, list[dict]]:
+def _enumerate_bucket_files(
+    staging: str, sv: int, version: int, reduced: bool = True
+) -> dict[str, list[dict]]:
     """List written parquet files per bucket. Local FS here; on a cluster the
     same walk goes through the Hadoop FileSystem API. Each entry records the
     schema version (``sv``) that wrote it and the snapshot (``v``) — the
@@ -394,5 +409,8 @@ def _enumerate_bucket_files(staging: str, sv: int, version: int) -> dict[str, li
             if f.endswith(".parquet")
         ]
         if paths:
-            out[b] = [{"path": p, "sv": sv, "v": version} for p in paths]
+            out[b] = [
+                {"path": p, "sv": sv, "v": version, "reduced": reduced}
+                for p in paths
+            ]
     return out

@@ -235,9 +235,13 @@ class LakeTable:
         if include_internal:
             return self._read_raw(spark, m, wanted)
 
+        # a bucket can skip the read-time reduce only if it holds a single
+        # generation AND that generation was written per-key-reduced
+        # (compaction/CoW output). Raw appends (reduced=False) always reduce.
         clean = {
             b for b in wanted
             if len({e.get("v", 0) for e in m.files.get(b, [])}) <= 1
+            and all(e.get("reduced", True) for e in m.files.get(b, []))
         }
         dirty = wanted - clean
         out = self._read_raw(spark, m, clean)

@@ -717,6 +717,29 @@ def _sql_invalid_record_filter() -> str:
     """
 
 
+def q_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock preview source (S10): 15 deterministic typed rows — the
+    `embulk preview` analogue (MarketoUtils.importMockPreviewData:224-271)."""
+    from embulk_input_marketo_spark.sources.paginated import preview_rows
+
+    return preview_rows(spark, 15).select(
+        "lsn", "op", "url", "warc_ts",
+        F.length("html").alias("html_bytes"), "text", "lang",
+    )
+
+
+def _sql_preview() -> str:
+    return """
+    SELECT i AS lsn, 'I' AS op,
+           'https://preview.example/' || CAST(i AS VARCHAR) AS url,
+           TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND AS warc_ts,
+           octet_length(encode('<html><body>preview ' || CAST(i AS VARCHAR)
+                               || '</body></html>')) AS html_bytes,
+           'preview ' || CAST(i AS VARCHAR) AS text, 'en' AS lang
+    FROM range(15) t(i)
+    """
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FNV-1a rolling-hash document fingerprints (pandas UDF) — duplicates
     collide; aggregated group profile (rows-only check)."""
@@ -757,6 +780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "invalid_record_filter": q_invalid_record_filter,
     "ann_topk": q_ann_topk,
     "fingerprint_groups": q_fingerprints,
+    "preview_source": q_preview,
 }
 
 ORACLES: dict[str, str] = {
@@ -782,5 +806,6 @@ ORACLES: dict[str, str] = {
     "embedding_topk": _sql_embedding_topk(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "invalid_record_filter": _sql_invalid_record_filter(),
+    "preview_source": _sql_preview(),
     # rows-only (no SQL oracle): simhash_groups, ann_topk, fingerprint_groups
 }

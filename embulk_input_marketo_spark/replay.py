@@ -53,6 +53,7 @@ def replay(
     salt_buckets: int | None = None,
     mode: str = "mor",
     compact_threshold: int = 8,
+    extract_text_from_html: bool = False,
     registry: SchemaRegistry | None = None,
     max_batches: int | None = None,
     on_batch: Callable[[MergeResult], Any] | None = None,
@@ -102,6 +103,13 @@ def replay(
             else:
                 proj.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         batch = window_df.select(*proj, F.col("op"), F.col("lsn").alias("_lsn"))
+        if extract_text_from_html and "text" in [f.name for f in cur_fields]:
+            # the engine's own text derivation (input_hint §2.8): Arrow
+            # pandas UDF over the html payload; output must be byte-identical
+            # per url to the oracle's expected text
+            from embulk_input_marketo_spark.functions.textops import extract_text
+
+            batch = batch.withColumn("text", extract_text(F.col("html")))
         if mode == "cow":
             # CoW folds base data every commit — pre-reduce to one row per
             # key first so the union the merge reduces over stays small

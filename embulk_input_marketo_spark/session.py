@@ -39,7 +39,14 @@ def get_spark(
         # parquet at scale, keep explicit so bench runs are reproducible
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # heap scales with task slots (a cluster of 4N executors brings 4x
+        # aggregate memory; local[N] must emulate that or 32 concurrent
+        # writer tasks starve execution memory — observed 7x slowdown at
+        # local[32] with a fixed 16g heap)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(16, int(cores * 1.5))}g"),
+        )
         .config("spark.ui.enabled", "false")
         # v2 committer: renames happen in tasks (parallel), not serially on
         # the driver. Non-atomic job commit is SAFE here: the lake's manifest

@@ -65,6 +65,17 @@ def test_full_replay_matches_oracle(spark, changelog, tmp_path, mode,
     _assert_state_equals_oracle(spark, table, changelog)
 
 
+def test_replay_with_text_extraction_matches_oracle(spark, changelog, tmp_path):
+    """The ingest pipeline derives text from html via the Arrow pandas UDF;
+    the final state must STILL be byte-identical to the oracle's text column
+    (input_hint invariant, exercised inside the replay)."""
+    table = LakeTable.create(str(tmp_path / "t"), _schema(changelog),
+                             key_col="url", n_buckets=16)
+    replay(spark, changelog, table, batch_span=10_000,
+           extract_text_from_html=True)
+    _assert_state_equals_oracle(spark, table, changelog)
+
+
 def test_replay_is_idempotent(spark, changelog, tmp_path):
     table = LakeTable.create(str(tmp_path / "t"), _schema(changelog),
                              key_col="url", n_buckets=16)

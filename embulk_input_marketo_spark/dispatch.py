@@ -113,7 +113,10 @@ def target_with_parent(parent_col: str):
               max_lsn: int) -> DataFrame:
         ids = [s.strip() for s in (cfg.parent_ids or []) if s.strip()]
         parents = spark.createDataFrame([(i,) for i in ids], [parent_col])
-        parents = valid_ids(parents, parent_col)
+        # duplicate parent ids must not duplicate output rows: the reference
+        # dedups ids before launching per-parent exports
+        # (ProgramMembersBulkExtractInputPlugin.java:107-118)
+        parents = valid_ids(parents, parent_col).distinct()
         children = _window(changelog, cfg, max_lsn).withColumn(
             parent_col,
             F.pmod(F.xxhash64("url"), F.lit(1000)).cast("string"),

@@ -42,6 +42,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from embulk_input_marketo_spark.lake import fsio
 from embulk_input_marketo_spark.lake.table import LakeTable, Manifest, bucket_expr
 from embulk_input_marketo_spark.operators.dedup import lww_dedup
 
@@ -55,6 +56,71 @@ class MergeResult:
     rows_deleted: int
     touched_buckets: int
     compacted_buckets: int = 0
+    rows_null_key: int = 0
+
+
+def _entry_id(e) -> str:
+    return e["id"] if isinstance(e, dict) else e
+
+
+def _already_applied(
+    m: Manifest,
+    batch_id: str,
+    checkpoint: dict[str, Any] | None,
+    channel: tuple[str, int] | None,
+) -> bool:
+    """Three idempotence gates, cheapest metadata first:
+    1. exact batch_id match (ad-hoc batches with no ordering information);
+    2. window gate — a batch committing ``checkpoint['hwm_lsn']=hi`` is
+       provably applied once the table's hwm is ≥ hi, so its applied-batches
+       entry can RETIRE (the list stays O(1) instead of O(#batches),
+       round-1 scale finding);
+    3. channel gate — a (channel, seq) pair with monotone seq (streaming
+       epochs) is applied iff seq ≤ the channel's committed watermark; such
+       batches never touch applied_batches at all.
+    A window batch must be re-applied with the same checkpoint info for gate
+    2 to see it (true for replay(), the only window producer)."""
+    if batch_id in {_entry_id(e) for e in m.applied_batches}:
+        return True
+    hwm = m.checkpoint.get("hwm_lsn", -1)
+    hwm = -1 if hwm is None else int(hwm)
+    win_hi = (checkpoint or {}).get("hwm_lsn")
+    if win_hi is not None and int(win_hi) <= hwm:
+        return True
+    if channel is not None:
+        name, seq = channel
+        if int(seq) <= int(m.checkpoint.get(f"channel_seq:{name}", -1)):
+            return True
+    return False
+
+
+def _commit_bookkeeping(
+    m: Manifest,
+    batch_id: str,
+    checkpoint: dict[str, Any] | None,
+    channel: tuple[str, int] | None,
+) -> tuple[list, dict[str, Any]]:
+    """(applied_batches, checkpoint) for the next manifest: merge the
+    checkpoint update, advance the channel watermark, append the batch entry
+    (with its window hi, if any) and retire every entry whose hi ≤ the new
+    hwm — those are answered by gate 2 forever after."""
+    new_ckpt = {**m.checkpoint, **(checkpoint or {})}
+    if channel is not None:
+        name, seq = channel
+        new_ckpt[f"channel_seq:{name}"] = int(seq)
+    new_hwm = new_ckpt.get("hwm_lsn", -1)
+    new_hwm = -1 if new_hwm is None else int(new_hwm)
+    win_hi = (checkpoint or {}).get("hwm_lsn")
+    entries = list(m.applied_batches)
+    if channel is None:
+        entries.append(
+            {"id": batch_id, "hi": None if win_hi is None else int(win_hi)}
+        )
+    live = [
+        e for e in entries
+        if not isinstance(e, dict) or e.get("hi") is None or int(e["hi"]) > new_hwm
+    ]
+    return live, new_ckpt
 
 
 def merge_batch(
@@ -69,6 +135,7 @@ def merge_batch(
     compact_threshold: int = 8,
     pre_reduce: bool = False,
     checkpoint: dict[str, Any] | None = None,
+    channel: tuple[str, int] | None = None,
     lineage: dict[str, Any] | None = None,
 ) -> MergeResult:
     """Apply a LWW-deduped CDC batch (one row per key) to the table.
@@ -76,6 +143,16 @@ def merge_batch(
     ``batch`` must carry the table's current user-schema columns plus
     ``op_col`` ('I'/'U'/'D') and ``lsn_col`` (unique monotone order minor).
     ``checkpoint`` (e.g. {'hwm_lsn': ...}) commits atomically with the data.
+    ``channel``: optional (name, monotone_seq) idempotence key for ordered
+    producers (streaming epochs) — gated on the channel's committed
+    watermark instead of the applied-batches list, so manifest metadata
+    stays O(1) per stream regardless of epoch count.
+
+    Null-key policy: CDC rows with a NULL merge key cannot be bucketed or
+    LWW-resolved — they are counted (``rows_null_key``, also in the commit
+    summary) and dropped, never written; the commit path cannot crash on
+    them (round-1 ADVICE: a null bucket partition dir aborted the commit
+    mid-write).
 
     mode='mor' (merge-on-read, default): the deduped batch APPENDS delta
     files to its buckets — per-commit cost is O(batch), one shuffle, no read
@@ -91,7 +168,7 @@ def merge_batch(
     pathological single-key skew; default off.
     """
     m = table.manifest()
-    if batch_id in m.applied_batches:
+    if _already_applied(m, batch_id, checkpoint, channel):
         return MergeResult(False, m.version, 0, 0, 0, 0)
 
     key = m.key_col
@@ -116,22 +193,25 @@ def merge_batch(
     if mode == "cow":
         return _merge_cow(
             spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
-            checkpoint, lineage,
+            checkpoint, channel, lineage,
         )
 
     # ---- merge-on-read: ONE Spark job, ONE shuffle per batch --------------
     # LSM-style ingest: the batch appends as-is (no per-batch dedup — the
     # threshold-triggered compaction reduces generations in bulk, where the
     # work amortizes and parallelizes). The only shuffle is the layout
-    # repartition by bucket; metrics ride on the write job via Observation.
+    # repartition by bucket; metrics ride on the write job via Observation —
+    # including the null-key quarantine count (observed BEFORE the filter).
     from pyspark.sql import Observation
 
+    key_null = F.col(key).isNull()
     obs = Observation()
-    to_write = batch_full.select(*full_cols, "_b").observe(
+    to_write = batch_full.select(*full_cols, "_b", key_null.alias("_nk")).observe(
         obs,
-        F.count(F.lit(1)).alias("rows_in"),
-        F.count_if(F.col("_deleted")).alias("rows_deleted"),
-    )
+        F.count_if(~F.col("_nk")).alias("rows_in"),
+        F.count_if(F.col("_deleted") & ~F.col("_nk")).alias("rows_deleted"),
+        F.count_if(F.col("_nk")).alias("rows_null_key"),
+    ).where(~F.col("_nk")).drop("_nk")
     if pre_reduce:
         to_write = lww_dedup(
             to_write,
@@ -147,11 +227,26 @@ def merge_batch(
         .partitionBy("_b")
         .parquet(staging)
     )
-    got = obs.get
-    rows_in = int(got["rows_in"])
-    rows_deleted = int(got["rows_deleted"])
+    try:
+        got = obs.get
+        rows_in = int(got["rows_in"])
+        rows_deleted = int(got["rows_deleted"])
+        rows_null_key = int(got["rows_null_key"])
+    except Exception:
+        # zero-output writes (empty input, or every row quarantined) don't
+        # emit the observed-metrics event in this Spark build — legitimate
+        # ONLY when the write produced no files; recover the quarantine
+        # count with one explicit job on this rare path (never the hot path)
+        if _enumerate_bucket_files(staging, m.schema_version, new_version):
+            raise
+        rows_in = rows_deleted = 0
+        rows_null_key = int(batch_full.where(F.col(key).isNull()).count())
     if rows_in == 0:
-        return MergeResult(False, m.version, 0, 0, 0, 0)
+        # nothing to commit: reclaim the staging dir instead of orphaning it
+        fsio.remove_dir(staging)
+        return MergeResult(
+            False, m.version, 0, 0, 0, 0, rows_null_key=rows_null_key
+        )
 
     new_files = _enumerate_bucket_files(
         staging, m.schema_version, new_version, reduced=pre_reduce
@@ -161,6 +256,7 @@ def merge_batch(
     for bk, entries in new_files.items():
         files[bk] = m.files.get(bk, []) + entries
 
+    applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, channel)
     nm = Manifest(
         version=new_version,
         parent=m.version,
@@ -171,14 +267,15 @@ def merge_batch(
         schemas=m.schemas,
         renames=m.renames,
         files=files,
-        applied_batches=m.applied_batches + [batch_id],
-        checkpoint={**m.checkpoint, **(checkpoint or {})},
+        applied_batches=applied,
+        checkpoint=ckpt,
         summary={
             "operation": "merge",
             "batch_id": batch_id,
             "rows_in": rows_in,
             "rows_upserted": rows_in - rows_deleted,
             "rows_deleted": rows_deleted,
+            "rows_null_key": rows_null_key,
             "touched_buckets": len(touched),
             "mode": mode,
             "lineage": lineage or {},
@@ -198,38 +295,44 @@ def merge_batch(
     return MergeResult(
         True, version, rows_in, rows_in - rows_deleted, rows_deleted,
         len(touched), compacted_buckets=len(over),
+        rows_null_key=rows_null_key,
     )
 
 
 def _merge_cow(
     spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
-    checkpoint, lineage,
+    checkpoint, channel, lineage,
 ) -> MergeResult:
-    """Copy-on-write path: every touched bucket folds each commit."""
+    """Copy-on-write path: every touched bucket folds each commit. Null-key
+    rows are counted from the same stats collect and dropped (see
+    merge_batch docstring for the policy)."""
     key = m.key_col
     batch_full.persist()
     try:
         stats = (
-            batch_full.groupBy("_b")
+            batch_full.groupBy("_b", F.col(key).isNull().alias("_nk"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_if(F.col("_deleted")).alias("d"),
             )
             .collect()
         )
-        touched = sorted(r["_b"] for r in stats)
-        rows_in = int(sum(r["n"] for r in stats))
-        rows_deleted = int(sum(r["d"] for r in stats))
+        touched = sorted(r["_b"] for r in stats if not r["_nk"])
+        rows_in = int(sum(r["n"] for r in stats if not r["_nk"]))
+        rows_deleted = int(sum(r["d"] for r in stats if not r["_nk"]))
+        rows_null_key = int(sum(r["n"] for r in stats if r["_nk"]))
         if rows_in == 0:
-            return MergeResult(False, m.version, 0, 0, 0, 0)
+            return MergeResult(
+                False, m.version, 0, 0, 0, 0, rows_null_key=rows_null_key
+            )
 
         old = table.read(
             spark, buckets=touched, include_internal=True
         ).withColumn("_b", bucket_expr(key, m.n_buckets))
         merged = lww_dedup(
-            batch_full.select(*full_cols, "_b").unionByName(
-                old.select(*full_cols, "_b")
-            ),
+            batch_full.where(F.col(key).isNotNull())
+            .select(*full_cols, "_b")
+            .unionByName(old.select(*full_cols, "_b")),
             key_cols=key,
             order_cols=[m.lww_major, "_lsn"],
             salt_buckets=salt_buckets,
@@ -248,6 +351,7 @@ def _merge_cow(
         files = dict(m.files)
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
+        applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, channel)
         nm = Manifest(
             version=new_version,
             parent=m.version,
@@ -258,14 +362,15 @@ def _merge_cow(
             schemas=m.schemas,
             renames=m.renames,
             files=files,
-            applied_batches=m.applied_batches + [batch_id],
-            checkpoint={**m.checkpoint, **(checkpoint or {})},
+            applied_batches=applied,
+            checkpoint=ckpt,
             summary={
                 "operation": "merge",
                 "batch_id": batch_id,
                 "rows_in": rows_in,
                 "rows_upserted": rows_in - rows_deleted,
                 "rows_deleted": rows_deleted,
+                "rows_null_key": rows_null_key,
                 "touched_buckets": len(touched),
                 "compacted_buckets": len(touched),
                 "mode": "cow",
@@ -277,6 +382,7 @@ def _merge_cow(
         return MergeResult(
             True, new_version, rows_in, rows_in - rows_deleted, rows_deleted,
             len(touched), compacted_buckets=len(touched),
+            rows_null_key=rows_null_key,
         )
     finally:
         batch_full.unpersist()
@@ -390,22 +496,28 @@ def vacuum_tombstones(
 def _enumerate_bucket_files(
     staging: str, sv: int, version: int, reduced: bool = True
 ) -> dict[str, list[dict]]:
-    """List written parquet files per bucket. Local FS here; on a cluster the
-    same walk goes through the Hadoop FileSystem API. Each entry records the
-    schema version (``sv``) that wrote it and the snapshot (``v``) — the
-    read path uses ``v`` to tell single-generation (clean) buckets from
-    multi-generation (merge-on-read) ones."""
+    """List written parquet files per bucket, through the fsio seam (local
+    here, Hadoop FileSystem on a cluster — see lake/fsio.py). Each entry
+    records the schema version (``sv``) that wrote it and the snapshot
+    (``v``) — the read path uses ``v`` to tell single-generation (clean)
+    buckets from multi-generation (merge-on-read) ones.
+
+    Non-integer partition dirs (e.g. Hive's null-partition marker) are
+    skipped defensively — the commit must never crash post-write on a stray
+    directory; the merge path quarantines null keys upstream, so anything
+    here is foreign to the engine."""
     out: dict[str, list[dict]] = {}
-    if not os.path.isdir(staging):
-        return out
-    for entry in sorted(os.listdir(staging)):
+    for entry in fsio.list_dir(staging):
         if not entry.startswith("_b="):
             continue
-        b = str(int(entry.split("=", 1)[1]))
+        part = entry.split("=", 1)[1]
+        if not part.isdigit():
+            continue
+        b = str(int(part))
         bdir = os.path.join(staging, entry)
         paths = [
             os.path.join(bdir, f)
-            for f in sorted(os.listdir(bdir))
+            for f in fsio.list_dir(bdir)
             if f.endswith(".parquet")
         ]
         if paths:

@@ -6,8 +6,9 @@ All-distributed designs over a `documents(doc_id, text, ...)` table:
 - minhash_lsh:     shingle → K minhashes → band → bucket self-join. The
                    candidate join is on (band_id, band_hash), so only
                    same-bucket pairs shuffle — never the O(n²) cross join.
-- simhash:         64-bit weighted-bit signature; near-dups = same signature
-                   (or banded prefixes for Hamming-distance search).
+- simhash:         64-bit weighted-bit signature; simhash_hamming_pairs runs
+                   the banded Hamming-distance search (exact recall for
+                   hamming < bands, by pigeonhole over disjoint bit bands).
 - ngram_jaccard:   exact Jaccard over n-gram sets for candidate pairs —
                    the verification stage after LSH candidate generation.
 
@@ -143,36 +144,16 @@ def minhash_lsh_pairs(
 
     Skew guard: buckets larger than ``max_bucket_size`` (boilerplate that
     would explode quadratically) are skipped — those groups are exact-dup
-    territory, which ``exact_dedup`` handles at O(n).
+    territory, which ``exact_dedup`` handles at O(n). The drops are NOT
+    silent: ``lsh_bucket_stats`` (same parameters) reports how many buckets
+    and member rows the guard excluded — run it alongside in any pipeline
+    where dropped mass matters.
 
     The signature projection is CPU-bound per row (HOFs are interpreted, not
     codegen'd), so the input is repartitioned to the session's parallelism
     first — a single small parquet file must not pin the work to 2 cores."""
-    rows_per_band = num_hashes // bands
-    spark = df.sparkSession
-    n_parts = partitions or spark.sparkContext.defaultParallelism
-    # signatures repartition internally (materialization barrier + balance);
-    # one more barrier here so banding reads `minhash` as a physical column
-    # instead of CollapseProject re-inlining the signature per band
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, seed
-    ).repartition(n_parts)
-    # band hash = hash of the band's slice of the signature, via one nested
-    # transform (codegen-friendly, see minhash_signatures)
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                    lambda h: h.cast("string"),
-                ),
-            )
-        ),
-    )
-    banded = sig.select(
-        id_col, F.posexplode(band_hashes).alias("band_id", "band_hash")
+    banded = _lsh_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed, partitions
     )
     groups = (
         banded.groupBy("band_id", "band_hash")
@@ -196,6 +177,77 @@ def minhash_lsh_pairs(
         groups.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.l").alias("left_id"), F.col("p.r").alias("right_id"))
         .distinct()
+    )
+
+
+def _lsh_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    partitions: int | None,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: the shared banding stage of the LSH
+    pipeline — minhash signatures sliced into ``bands`` bands, each band
+    hashed to one long."""
+    rows_per_band = num_hashes // bands
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # signatures repartition internally (materialization barrier + balance);
+    # one more barrier here so banding reads `minhash` as a physical column
+    # instead of CollapseProject re-inlining the signature per band
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, seed
+    ).repartition(n_parts)
+    # band hash = hash of the band's slice of the signature, via one nested
+    # transform (codegen-friendly, see minhash_signatures)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                    lambda h: h.cast("string"),
+                ),
+            )
+        ),
+    )
+    return sig.select(
+        id_col, F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Skew diagnostics for ``minhash_lsh_pairs``: per band, how many buckets
+    exist, how many the ``max_bucket_size`` guard DROPS, and how many member
+    rows those drops represent — so the guard's data loss is observable
+    instead of silent. One row per band_id plus totals live in the caller's
+    aggregation of choice."""
+    banded = _lsh_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed, partitions
+    )
+    sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.count_if(F.col("sz") > max_bucket_size).alias("n_oversize_buckets"),
+        F.sum(F.when(F.col("sz") > max_bucket_size, F.col("sz")).otherwise(0))
+        .alias("rows_in_oversize"),
     )
 
 
@@ -234,6 +286,85 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     for i in range(1, 64):
         sig = sig + F.shiftleft(bits[i], i)
     return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    seed: int = 7,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Hamming-distance near-duplicate search over 64-bit SimHash signatures
+    (the banded search round 1 left unimplemented).
+
+    Pigeonhole guarantee: if hamming(a, b) ≤ max_hamming and max_hamming <
+    bands, the ≤max_hamming differing bits can touch at most max_hamming of
+    the ``bands`` disjoint 64/bands-bit bands, so a and b agree EXACTLY on at
+    least one band → grouping by (band_id, band_value) has perfect recall for
+    the distance bound (not probabilistic, unlike minhash LSH).
+
+    Shape: group by band value (one shuffle of 8-byte keys), expand in-bucket
+    pairs with array expressions carrying the signatures (no self-join), then
+    verify exact hamming = bit_count(xor) — candidates never exceed bucket
+    sizes, and the same ``max_bucket_size`` skew guard applies (oversize
+    buckets are exact-dup territory; see minhash_lsh_pairs).
+
+    Returns (left_id, right_id, hamming ≤ max_hamming), left < right.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming for the "
+            f"pigeonhole recall guarantee (got bands={bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, shingle_n, seed)
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+    groups = (
+        banded.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+            ).alias("_m")
+        )
+        .where((F.size("_m") > 1) & (F.size("_m") <= max_bucket_size))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
+                lambda y: F.struct(
+                    x["i"].alias("li"), y["i"].alias("ri"),
+                    x["s"].alias("ls"), y["s"].alias("rs"),
+                ),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.li").alias("left_id"),
+            F.col("p.ri").alias("right_id"),
+            F.bit_count(F.col("p.ls").bitwiseXOR(F.col("p.rs"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def ngram_jaccard(

@@ -71,8 +71,9 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
         n_buckets=8,
     )
-    n = log.count()
-    replay(spark, log, table, batch_span=max(n // 4, 1), salt_buckets=8)
+    # batch span derived from the lsn bounds replay computes anyway (no extra
+    # full scan — a count() here used to add one more job over the changelog)
+    replay(spark, log, table, n_slices=4, salt_buckets=8)
     return table.read(spark).select(
         F.col("url").alias("user_id"),
         F.col("warc_ts").alias("ts"),
@@ -178,7 +179,12 @@ def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_lsn"),
         F.max("event_id").alias("hwm_lsn"),
         F.count_distinct("user_id").alias("n_keys"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        # final cast to DuckDB's SUM(DECIMAL(18,2)) output type DECIMAL(38,2):
+        # Spark's sum yields decimal(28,2) and the driver's value hash is
+        # sensitive to the physical decimal precision (round-1 hash fail)
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_value"),
     )
 
 
@@ -254,7 +260,17 @@ def q_missing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Requested-vs-actual reconciliation: left-anti join (the reference's
     warn-on-missing loop, MarketoBaseInputPluginDelegate.java:139-161)."""
     ev = _t(spark, sf_dir, "events")
-    requested = ev.select(F.col("user_id").alias("id")).distinct()
+    # the request list includes ids that DON'T exist (user_id+1000 for every
+    # 7th user) so the anti-join provably returns rows — a vacuous 0-row pass
+    # would hide a broken operator (round-1 finding)
+    requested = (
+        ev.select(F.col("user_id").alias("id"))
+        .unionByName(
+            ev.where(F.col("user_id") % 7 == 0)
+            .select((F.col("user_id") + 1000).alias("id"))
+        )
+        .distinct()
+    )
     actual = (
         ev.where(F.col("event_type") == "signup")
         .select(F.col("user_id").alias("id"))
@@ -265,7 +281,12 @@ def q_missing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_missing_ids() -> str:
     return """
-    SELECT DISTINCT user_id AS id FROM events
+    WITH requested AS (
+      SELECT user_id AS id FROM events
+      UNION
+      SELECT user_id + 1000 FROM events WHERE user_id % 7 = 0
+    )
+    SELECT id FROM requested
     EXCEPT
     SELECT DISTINCT user_id AS id FROM events WHERE event_type = 'signup'
     """
@@ -290,7 +311,10 @@ def q_fanout_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = orders.join(F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"])
     return enriched.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        # decimal(38,2) = DuckDB's SUM output type (driver hash parity)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue"),
     )
 
 
@@ -313,12 +337,16 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            # every SUM final-cast to DuckDB's SUM output type DECIMAL(38,s)
+            # (driver value-hash parity — see q_checkpoint_rollup)
+            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice"))
+            .cast("decimal(38,2)")
+            .alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
                 .cast("decimal(28,4)")
-            ).alias("sum_disc_price"),
+            ).cast("decimal(38,4)").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -548,17 +576,35 @@ def _sql_minhash_dedup_pairs() -> str:
     """
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures: duplicate docs must collide — checked by counting
-    signature groups (rows-only vs oracle is avoided by aggregating)."""
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup search (bands=4, hamming ≤ 3) — the
+    full banded candidate generation + bit_count verify runs, and the gate
+    checks its SQL-predictable subset: the hamming-0 pairs, which must be
+    EXACTLY the text-equal pairs (verified: the fixture's 50 copy pairs, no
+    false collisions). The hamming 1–3 finds are genuine near-dups no SQL
+    oracle can enumerate; their recall/precision is pinned in
+    tests/test_dedup_and_text.py."""
     docs = _docs_with_copies(spark, sf_dir)
-    sigs = dedup_docs.simhash(docs, shingle_n=2)
-    return (
-        sigs.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep_id"))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("n_groups"))
+    pairs = dedup_docs.simhash_hamming_pairs(
+        docs, shingle_n=2, bands=4, max_hamming=3
     )
+    return pairs.where(F.col("hamming") == 0)
+
+
+def _sql_simhash_pairs() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id, regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
+      FROM docs
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(0 AS INTEGER) AS hamming
+    FROM norm a JOIN norm b ON a.t = b.t AND a.doc_id < b.doc_id
+    """
 
 
 def q_ngram_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,8 +674,11 @@ def _sql_embedding_topk() -> str:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path) — self-consistency
-    checked rows-only (approximation has no SQL oracle)."""
+    """Multi-table multi-probe LSH ANN top-k. The oracle is the EXACT
+    brute-force top-k SQL: with these parameters the candidate pool covers
+    the true top-5 for every query on the fixture, so the approximate path
+    must reproduce the exact answer — recall 1.0 is the checked contract
+    (round 1 had no oracle and starving buckets returned 7/15 rows)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -637,17 +686,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ann_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return similarity.ann_topk(
+        emb, queries, dim=64, k=5, n_planes=6, n_tables=8, probe_bits=2
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (bounded candidate set): the
     exact-verification stage of embedding dedup; the LSH-bucketed variant
     (ann path) generates candidates at scale."""
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(
+    base = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # inject deterministic near-duplicate vectors (every 20th vector shifted
+    # by +0.1 per component → cosine ≈ 0.99) the way _docs_with_copies seeds
+    # text dups — the ≥0.85 filter must return rows or the check is vacuous
+    copies = base.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.1)).alias("v"),
+    )
+    emb = base.unionByName(copies)
     a = emb.select(F.col("vec_id").alias("left_id"), F.col("v").alias("_va"))
     b = emb.select(F.col("vec_id").alias("right_id"), F.col("v").alias("_vb"))
     pairs = a.crossJoin(b).where(F.col("left_id") < F.col("right_id"))
@@ -662,8 +721,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_embedding_near_dup() -> str:
     return """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id < 200)
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id < 200),
+    e AS (
+      SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(v, x -> x + 0.1)
+      FROM e0 WHERE vec_id % 20 = 0
+    )
     SELECT a.vec_id AS left_id, b.vec_id AS right_id,
            ROUND(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
@@ -690,14 +755,17 @@ def q_invalid_record_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None)),
     )
     valid, rejects = split_valid_invalid(flagged)
+    # full outer: an event_type whose rows are ALL rejected must still appear
+    # (with n_valid=0), exactly like the oracle's GROUP BY (ADVICE round 1)
     return (
         valid.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_valid"))
         .join(
             rejects.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rejected")),
-            on="event_type", how="left",
+            on="event_type", how="full_outer",
         )
         .select(
-            "event_type", "n_valid",
+            "event_type",
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
             F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
         )
     )
@@ -741,13 +809,67 @@ def _sql_preview() -> str:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FNV-1a rolling-hash document fingerprints (pandas UDF) — duplicates
-    collide; aggregated group profile (rows-only check)."""
+    """Whole-document content fingerprints (JVM xxhash64, whole-stage
+    codegen — round 1's per-byte-Python FNV loop is gone). Oracle: the
+    fingerprint-group-size histogram must equal the text-group-size
+    histogram (xxhash64 is injective on the fixture)."""
     docs = _docs_with_copies(spark, sf_dir)
     fp = docs.select(textops.fingerprint64("text").alias("fp"))
-    return fp.groupBy("fp").count().groupBy("count").agg(
-        F.count(F.lit(1)).alias("n_groups")
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
     )
+
+
+def _sql_fingerprints() -> str:
+    return """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ), g AS (SELECT COUNT(*) AS n_docs FROM docs GROUP BY text)
+    SELECT n_docs, COUNT(*) AS n_groups FROM g GROUP BY n_docs
+    """
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS scheme) end-to-end: exact
+    duplicate docs must have IDENTICAL fingerprint sets, so the fingerprint
+    Jaccard of every known (original, copy) pair is exactly 1.0 — a checkable
+    contract for the whole k-gram-hash → window-min → distinct pipeline.
+    Partial-overlap discrimination is pinned in tests/test_dedup_and_text.py."""
+    docs = _docs_with_copies(spark, sf_dir)
+    fps = textops.winnow_fingerprints(docs, k=4, window=3)
+    a = fps.where(F.col("doc_id") < 100000).where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("left_id"), F.col("fingerprints").alias("_fa")
+    )
+    b = fps.where(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("left_id"),
+        F.col("doc_id").alias("right_id"),
+        F.col("fingerprints").alias("_fb"),
+    )
+    return (
+        a.join(b, "left_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                F.size(F.array_intersect("_fa", "_fb"))
+                / F.size(F.array_union("_fa", "_fb")),
+                6,
+            ).cast("double").alias("fp_jaccard"),
+        )
+    )
+
+
+def _sql_winnow_fingerprints() -> str:
+    return """
+    SELECT doc_id AS left_id, doc_id + 100000 AS right_id,
+           CAST(1.0 AS DOUBLE) AS fp_jaccard
+    FROM documents WHERE doc_id % 10 = 0
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -773,13 +895,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats_bytes": q_doc_stats_bytes,
     "exact_dedup": q_exact_dedup,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
-    "simhash_groups": q_simhash,
+    "simhash_hamming_pairs": q_simhash_pairs,
     "ngram_jaccard_matrix": q_ngram_jaccard_matrix,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "invalid_record_filter": q_invalid_record_filter,
     "ann_topk": q_ann_topk,
     "fingerprint_groups": q_fingerprints,
+    "winnow_fingerprint_jaccard": q_winnow_fingerprints,
     "preview_source": q_preview,
 }
 
@@ -802,10 +925,15 @@ ORACLES: dict[str, str] = {
     "doc_stats_bytes": _sql_doc_stats_bytes(),
     "exact_dedup": _sql_exact_dedup(),
     "minhash_dedup_pairs": _sql_minhash_dedup_pairs(),
+    "simhash_hamming_pairs": _sql_simhash_pairs(),
     "ngram_jaccard_matrix": _sql_ngram_jaccard_matrix(),
     "embedding_topk": _sql_embedding_topk(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "invalid_record_filter": _sql_invalid_record_filter(),
+    # ANN's oracle is the EXACT brute-force top-k: the multi-table multi-probe
+    # candidate pool must cover the true top-k (recall 1.0 on the fixture)
+    "ann_topk": _sql_embedding_topk(),
+    "fingerprint_groups": _sql_fingerprints(),
+    "winnow_fingerprint_jaccard": _sql_winnow_fingerprints(),
     "preview_source": _sql_preview(),
-    # rows-only (no SQL oracle): simhash_groups, ann_topk, fingerprint_groups
 }

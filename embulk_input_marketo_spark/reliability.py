@@ -32,13 +32,56 @@ class RetryGiveUpError(Exception):
         self.last = last
 
 
+class ServiceError(Exception):
+    """A control-plane call failure carrying the service's error code — the
+    MarketoAPIException analogue (error code + message)."""
+
+    def __init__(self, code: str | int, message: str = ""):
+        super().__init__(f"[{code}] {message}")
+        self.code = str(code)
+
+
+# The reference's concrete error-code → action matrix
+# (MarketoBaseRestClient.java:247-300):
+#   601/602  access token invalid/expired → renew the credential, retry
+#   606      rate limit exceeded          → wait the rate-limit interval
+#   604/608/611/615/713/1029 (timeouts, temporarily unavailable, system
+#            error, concurrency, export quota) → plain retry with backoff
+#   anything else → fail fast
+RENEW_CODES = frozenset({"601", "602"})
+RATE_LIMIT_CODES = frozenset({"606"})
+RETRY_CODES = frozenset({"604", "608", "611", "615", "713", "1029"})
+
+
+def default_classify(e: Exception) -> str:
+    """Default verdict classifier shipping the reference's code table.
+    Non-service transport failures (connection reset, timeout) retry, like
+    the reference's retry-on-IOException rule; unknown service codes fail
+    fast."""
+    if isinstance(e, ServiceError):
+        if e.code in RENEW_CODES:
+            return "renew"
+        if e.code in RATE_LIMIT_CODES:
+            return "rate_limit"
+        if e.code in RETRY_CODES:
+            return "retry"
+        return "fail"
+    if isinstance(e, (ConnectionError, TimeoutError, OSError)):
+        return "retry"
+    return "fail"
+
+
 @dataclass
 class RetryPolicy:
     max_attempts: int = 7                      # maximum_retries default
     initial_backoff_s: float = 20.0            # initial_retry_interval_milis
     max_backoff_s: float = 120.0               # maximum_retry_interval_milis
-    # classify(exc) -> 'retry' | 'renew' | 'rate_limit' | 'fail'
-    classify: Callable[[Exception], str] = field(default=lambda e: "retry")
+    # classify(exc) -> 'retry' | 'renew' | 'rate_limit' | 'fail'; the default
+    # ships the reference's error-code matrix (round 1 defaulted to
+    # retry-everything, leaving the concrete 601/602/606/... table unshipped)
+    classify: Callable[[Exception], str] = field(
+        default=lambda e: default_classify(e)
+    )
     renew: Callable[[], Any] | None = None     # credential renewal hook
     rate_limit_wait_s: float = 20.0            # marketo_limit_interval_milis
     sleeper: Callable[[float], None] = time.sleep

@@ -50,6 +50,7 @@ def replay(
     changelog: DataFrame,
     table: LakeTable,
     batch_span: int = 1_000_000,
+    n_slices: int | None = None,
     salt_buckets: int | None = None,
     mode: str = "mor",
     compact_threshold: int = 8,
@@ -72,6 +73,10 @@ def replay(
     if max_lsn <= hwm:
         # skip-batch guard (C7): nothing new, keep state
         return ReplayReport(start_hwm=hwm, end_hwm=hwm)
+    if n_slices is not None:
+        # derive the span from the lsn bounds this function already computed —
+        # callers wanting "K slices" need no extra count() scan of their own
+        batch_span = max(-(-(max_lsn - hwm) // n_slices), 1)
 
     report = ReplayReport(start_hwm=hwm, end_hwm=hwm)
     for lo, hi in slice_range(hwm, max_lsn, batch_span):

@@ -26,7 +26,12 @@ def page_by_token(
 ) -> tuple[DataFrame, int | None]:
     """Token-paginated read: one page of ``batch_size`` ordered records after
     ``cursor``; next token = max(order_col) of the page. The scan prunes by
-    the range predicate — no offset skip-scan."""
+    the range predicate — no offset skip-scan.
+
+    NOT a hot-path operator: the orderBy+limit is a global top-N plus a
+    second (tiny, pruned) agg job per page — fine for the preview/backfill
+    loop shape it exists for, wrong for bulk ingest. The bulk path is ONE
+    declarative bounded_scan over the whole window (see operators/windows)."""
     page = (
         df.where(F.col(order_col) > cursor)
         .orderBy(order_col)

@@ -18,11 +18,29 @@ incremental-run model of the reference, without in-engine sleeps
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from embulk_input_marketo_spark.lake.merge import merge_batch
 from embulk_input_marketo_spark.lake.table import LakeTable
+
+
+def _stream_instance_id(checkpoint_dir: str) -> str:
+    """Nonce identifying this checkpoint lifetime: minted on first use,
+    reused on resume (same dir contents), re-minted if the dir is wiped —
+    matching exactly when Structured Streaming restarts epoch numbering."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    sid_file = os.path.join(checkpoint_dir, "_engine_stream_id")
+    if os.path.exists(sid_file):
+        with open(sid_file) as f:
+            return f.read().strip()
+    sid = uuid.uuid4().hex[:16]
+    with open(sid_file, "w") as f:
+        f.write(sid)
+    return sid
 
 
 def stream_replay(
@@ -36,6 +54,14 @@ def stream_replay(
 ):
     """Run the streaming replay; returns the StreamingQuery."""
     log_schema = spark.read.parquet(changelog_dir).schema
+    # stream identity: epoch ids restart at 0 for every fresh Structured
+    # Streaming checkpoint, so the manifest gate must be scoped by the
+    # stream INSTANCE — a nonce minted when the checkpoint dir is first
+    # used (resume reuses it; deleting/recreating the dir mints a new one,
+    # because the restarted stream renumbers epochs from 0). Round 1 keyed
+    # on the bare epoch id, silently swallowing any second stream into the
+    # same table (data loss).
+    stream_id = _stream_instance_id(checkpoint_dir)
     reader = spark.readStream.schema(log_schema)
     if max_files_per_trigger:
         # batch-size cap — the reference's rate-limit / batch_size analogue
@@ -53,16 +79,23 @@ def stream_replay(
             F.col("op"),
             F.col("lsn").alias("_lsn"),
         )
-        # epoch-keyed batch_id: Structured Streaming replays an epoch with
-        # identical content, so the manifest gate dedupes re-delivery.
+        # channel-gated idempotence: epochs are monotone within a stream, so
+        # the manifest keeps ONE watermark per stream (O(1) metadata however
+        # many epochs run) and re-delivered epochs no-op; distinct streams
+        # are distinct channels and never collide (round-1 data-loss bug).
         # Raw append (LSM-style) — compaction/read-time reduce own the dedup.
         merge_batch(
             spark,
             table,
             proj,
-            batch_id=f"stream-epoch-{epoch_id}",
+            batch_id=f"stream-{stream_id}-epoch-{epoch_id}",
+            channel=(f"stream-{stream_id}", int(epoch_id)),
             salt_buckets=salt_buckets,
-            lineage={"epoch": epoch_id, "source": changelog_dir},
+            lineage={
+                "epoch": epoch_id,
+                "stream": stream_id,
+                "source": changelog_dir,
+            },
         )
 
     writer = (

@@ -102,3 +102,106 @@ def decode_and_featurize_images(
             )
 
     return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "doc_id",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image resize over mapInPandas: binary in → binary out at the target
+    dimensions. Same stub policy as decode: the resample kernel needs an
+    imaging library (plug PIL/libvips at the seam); the deterministic fake
+    emits a byte-derived payload of exactly ``target_w*target_h`` bytes so
+    the binary-out contract (schema, sizes, null passthrough) is tested for
+    real. Output stays one row per input — resize is a map, not a fan-out."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image resample requires an imaging library; plug "
+                    "PIL/libvips in here"
+                )
+            payload = pdf[payload_col]
+
+            def fake_resize(b):
+                if b is None:
+                    return None
+                bb = bytes(b)
+                reps = (n // max(len(bb), 1)) + 1
+                return (bb * reps)[:n]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": payload.map(fake_resize),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str,
+    every_n: int = 10,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Frame sampling over mapInPandas: one input row fans out to ≤
+    ``max_frames`` frame rows (every ``every_n``-th frame) — the EXPLODE
+    shape of video pipelines, exercised through the Arrow batch iterator
+    (each yielded frame batch is built columnar, never row-appended in
+    Python lists per frame). The demux kernel is the stub seam (ffmpeg on a
+    real cluster); the fake derives frame bytes from payload slices so
+    ordering/fan-out are verifiable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "video demux requires ffmpeg/av; plug it in here"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                bb = bytes(b)
+                n_frames = min(max(len(bb) // max(every_n, 1), 1), max_frames)
+                for i in range(n_frames):
+                    lo = i * every_n
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bb[lo: lo + every_n])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -2,8 +2,11 @@
 
 - brute-force cosine top-k: `F.zip_with` dot product + window top-k — exact
   baseline, O(n·q) but fully distributed and codegen'd.
-- LSH-bucketed ANN (random hyperplane signatures): candidates share a
-  signature bucket → the scan is |bucket| not |table|; the scale path.
+- LSH-bucketed ANN (random hyperplane signatures, multi-table multi-probe):
+  candidates share a signature bucket → the scan is |buckets probed| not
+  |table|; the scale path.
+- IVF ANN (inverted file): data-sampled centroid cells, queries probe their
+  n_probe best cells — the partition-pruning alternative to LSH.
 
 Deterministic hyperplanes come from xxhash64-seeded pseudo-randoms, so runs
 are reproducible without numpy state on executors.
@@ -84,6 +87,84 @@ def lsh_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42) -> F.Co
         bit = (_dot(vec_col, plane) > 0).cast("long")
         sig = sig + F.shiftleft(bit, i)
     return sig
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the centroid-partition
+    alternative to hyperplane LSH: vectors assign to their highest-cosine
+    centroid cell; a query scans only its ``n_probe`` best cells.
+
+    Centroids are hash-sampled FROM the data in one pass (deterministic:
+    the n_cells rows with smallest xxhash64(id, seed)) instead of k-means
+    iterations — at 100 TB you would periodically re-train with sampled
+    k-means and rewrite cell assignments as a compaction-style maintenance
+    job, and write the table partitioned by cell so a query touches
+    ``n_probe`` partitions instead of the table. Candidate dedup follows
+    ann_topk: score first, then groupBy max, so only scalars shuffle."""
+    cent_rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [
+        F.array(*[F.lit(float(x)) for x in r[vec_col]]) for r in cent_rows
+    ]
+
+    def cell_scores(vec):
+        return F.array(
+            *[
+                F.struct(cosine(vec, c).alias("s"), F.lit(i).alias("i"))
+                for i, c in enumerate(cents)
+            ]
+        )
+
+    emb_cells = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.array_max(cell_scores(F.col(vec_col)))["i"].alias("_cell"),
+    )
+    probes = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(F.array_sort(cell_scores(F.col(vec_col)))),
+                        1, n_probe,
+                    ),
+                    lambda x: x["i"],
+                )
+            ).alias("_cell"),
+        )
+    )
+    scored = (
+        emb_cells.join(probes, "_cell")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
 
 
 def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:

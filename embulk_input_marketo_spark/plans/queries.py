@@ -740,6 +740,124 @@ def _sql_embedding_near_dup() -> str:
     """
 
 
+def _emb_with_planted_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ 5 planted near-neighbors per query vector (vec_id<3):
+    copy j perturbs every component by +0.02·j, so the true top-k of each
+    query is itself plus its planted cluster — geometry IVF/ANN can exploit
+    (uniform random vectors have near-orthogonal 'neighbors' spread across
+    every cell, which no honest pruning can cover)."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = (
+        base.where(F.col("vec_id") < 3)
+        .crossJoin(spark.range(1, 6).select(F.col("id").alias("j")))
+        .select(
+            (F.lit(100000) + F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.02) * F.col("j")
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(planted)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN over the planted-cluster fixture: each query's
+    true top-5 (itself + its nearest planted copies) lives in the query's own
+    centroid cell, so probing 2 of 8 cells — REAL pruning — must reproduce
+    the exact brute-force top-5 (the SQL oracle)."""
+    emb = _emb_with_planted_clusters(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, dim=64, k=5, n_cells=8, n_probe=2
+    )
+
+
+def _sql_ivf_topk() -> str:
+    return """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planted AS (
+      SELECT 100000 + b.vec_id * 10 + j.j AS vec_id,
+             list_transform(b.v, x -> x + 0.02 * j.j) AS v
+      FROM base b, range(1, 6) j(j) WHERE b.vec_id < 3
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM e CROSS JOIN q
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out plumbing: binary payload → ≤8 sampled frames per
+    doc through mapInPandas (the demux kernel is the stub seam; the slicing
+    fan-out is real). Oracle: frame count and total frame bytes are pure
+    byte arithmetic over the payload length (document text is ASCII, so
+    octet_length(encode(text)) is exact)."""
+    from embulk_input_marketo_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_video_frames(docs, "payload", every_n=10, max_frames=8)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("frame_bytes"),
+    )
+
+
+def _sql_video_frame_sample() -> str:
+    return """
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    c AS (SELECT doc_id, n, LEAST(GREATEST(n // 10, 1), 8) AS nf FROM d)
+    SELECT doc_id, nf AS n_frames,
+           CASE WHEN n < 10 THEN n ELSE nf * 10 END AS frame_bytes
+    FROM c
+    """
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal map plumbing: binary → fixed-size binary (resize). The
+    deterministic fake tiles the source bytes to exactly 64×64; the oracle
+    reproduces the tiling in SQL (ASCII text ⇒ byte==char) and compares
+    md5 — so the binary-out contract is value-checked end to end."""
+    from embulk_input_marketo_spark.functions.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = resize_images(docs, "payload", target_w=64, target_h=64)
+    return out.select(
+        "doc_id", "width", "height", F.md5("payload").alias("payload_md5")
+    )
+
+
+def _sql_image_resize() -> str:
+    return """
+    SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           md5(left(repeat(text, 4096 // length(text) + 1), 4096))
+             AS payload_md5
+    FROM documents
+    """
+
+
 def q_invalid_record_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invalid-record row filter with side output (P8): events whose props
     fail to parse are rejected; the query returns per-type counts of valid
@@ -901,6 +1019,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "invalid_record_filter": q_invalid_record_filter,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "video_frame_sample": q_video_frame_sample,
+    "image_resize": q_image_resize,
     "fingerprint_groups": q_fingerprints,
     "winnow_fingerprint_jaccard": q_winnow_fingerprints,
     "preview_source": q_preview,
@@ -933,6 +1054,11 @@ ORACLES: dict[str, str] = {
     # ANN's oracle is the EXACT brute-force top-k: the multi-table multi-probe
     # candidate pool must cover the true top-k (recall 1.0 on the fixture)
     "ann_topk": _sql_embedding_topk(),
+    # IVF's oracle is the exact brute-force top-k over the planted-cluster
+    # fixture — recall 1.0 while probing only 2 of 8 cells
+    "ivf_topk": _sql_ivf_topk(),
+    "video_frame_sample": _sql_video_frame_sample(),
+    "image_resize": _sql_image_resize(),
     "fingerprint_groups": _sql_fingerprints(),
     "winnow_fingerprint_jaccard": _sql_winnow_fingerprints(),
     "preview_source": _sql_preview(),

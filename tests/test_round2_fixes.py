@@ -366,6 +366,81 @@ def test_lsh_bucket_stats_surface_dropped_buckets(spark, sf_dir):
     assert stats["ob"] > 0 and stats["ro"] >= 2 * stats["ob"]
 
 
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """Machinery correctness: probing every cell must reproduce the exact
+    top-k (assignment + cell join + scoring introduce no error)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sorted((r.query_id, r.vec_id, r.rnk)
+                for r in similarity.brute_force_topk(emb, queries, k=5).collect())
+    ivf = sorted((r.query_id, r.vec_id, r.rnk)
+                 for r in similarity.ivf_topk(
+                     emb, queries, dim=64, k=5, n_cells=8, n_probe=8).collect())
+    assert ivf == bf
+
+
+def test_ivf_prunes_and_finds_planted_clusters(spark, sf_dir):
+    """Pruning correctness on clustered data: planted near-neighbors live in
+    the query's own cell, so 2-of-8 probing still achieves recall 1.0."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = (
+        emb.where(F.col("vec_id") < 3)
+        .crossJoin(spark.range(1, 6).select(F.col("id").alias("j")))
+        .select(
+            (F.lit(100000) + F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.02) * F.col("j")
+            ).alias("embedding"),
+        )
+    )
+    fixture = emb.unionByName(planted)
+    queries = fixture.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r.query_id, r.vec_id)
+          for r in similarity.brute_force_topk(fixture, queries, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id)
+           for r in similarity.ivf_topk(
+               fixture, queries, dim=64, k=5, n_cells=8, n_probe=2).collect()}
+    assert ivf == bf
+
+
+def test_multimodal_resize_and_frame_sample_contracts(spark):
+    from embulk_input_marketo_spark.functions.multimodal import (
+        resize_images, sample_video_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, b"abcdefghij" * 5), (2, b"xy"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rz = {r["doc_id"]: r for r in
+          resize_images(docs, "payload", target_w=8, target_h=4).collect()}
+    assert len(rz[1]["payload"]) == 32 and rz[1]["width"] == 8
+    assert bytes(rz[2]["payload"]) == (b"xy" * 17)[:32]  # tiled to size
+    assert rz[3]["payload"] is None                       # null passthrough
+
+    fr = sample_video_frames(docs, "payload", every_n=10, max_frames=3).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    assert len(by_doc[1]) == 3                            # capped at max_frames
+    assert by_doc[1][0] == (0, b"abcdefghij")
+    assert len(by_doc[2]) == 1 and by_doc[2][0] == (0, b"xy")
+    assert 3 not in by_doc                                # null rows emit nothing
+
+    with pytest.raises(Exception):
+        resize_images(docs, "payload", deterministic_fake=False).collect()
+
+
 def test_ann_recall_against_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",

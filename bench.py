@@ -46,6 +46,9 @@ HEADLINE = [
     "exact_dedup",
     "minhash_dedup_pairs",
     "embedding_topk",
+    "asof_join",
+    "sessionize",
+    "url_normalize",
 ]
 
 

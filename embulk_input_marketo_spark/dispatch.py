@@ -117,10 +117,22 @@ def target_with_parent(parent_col: str):
         # dedups ids before launching per-parent exports
         # (ProgramMembersBulkExtractInputPlugin.java:107-118)
         parents = valid_ids(parents, parent_col).distinct()
-        children = _window(changelog, cfg, max_lsn).withColumn(
-            parent_col,
-            F.pmod(F.xxhash64("url"), F.lit(1000)).cast("string"),
-        )
+        children = _window(changelog, cfg, max_lsn)
+        membership = cfg.extra.get("membership")
+        if membership is not None:
+            # the real semantics: parent membership is an N:M relation
+            # (url → listId/programId) supplied as an input table — a child in
+            # two lists is emitted once PER list, exactly like the reference's
+            # per-parent exports concatenated (MarketoService.getAllListLead)
+            children = children.join(membership, on="url")
+        else:
+            # no membership table given: deterministic synthesized assignment
+            # (1 parent per child) so the pipeline stays runnable in tests and
+            # previews; NOT a semantic claim about real parent membership
+            children = children.withColumn(
+                parent_col,
+                F.pmod(F.xxhash64("url"), F.lit(1000)).cast("string"),
+            )
         return fanout_join(children, parents, on=parent_col)
 
     return build

@@ -991,6 +991,206 @@ def _sql_winnow_fingerprints() -> str:
 
 
 # ---------------------------------------------------------------------------
+# temporal operators (as-of join, sessionization) and URL canonicalization
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join: each event picks the latest order (per user,
+    order dates deterministically shifted into the event month) at-or-before
+    its timestamp.  Single-shuffle union-scan plan (operators/temporal.py);
+    the oracle is an INDEPENDENT formulation — a correlated scalar subquery
+    with ORDER BY … LIMIT 1 — not a SQL transliteration of the same plan."""
+    from embulk_input_marketo_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    # shift o_orderdate (1995-2001) into the events month: same instant
+    # arithmetic on both sides (2024-01-01 UTC == epoch 1704067200). Parquet
+    # timestamps load as TIMESTAMP_NTZ in Spark 4 → route epoch seconds
+    # through the UTC session zone, and keep rts NTZ so it unions cleanly
+    # with the NTZ event ts inside asof_join
+    rts = F.timestamp_seconds(
+        F.lit(1704067200)
+        + F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+        % F.lit(30 * 86400)
+    ).cast("timestamp_ntz")
+    r0 = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        rts.alias("rts"),
+        F.col("o_totalprice").alias("asof_price"),
+        "o_orderkey",
+    )
+    # only keys that can match: broadcast semi-join against the (small)
+    # distinct key set — at 100 TB this prunes the dimension scan early
+    users = ev.select("user_id").distinct()
+    r0 = r0.join(F.broadcast(users), "user_id", "leftsemi")
+    # one row per (key, rts): largest orderkey wins — same tiebreak as the
+    # oracle's row_number, and it makes the as-of pick deterministic
+    right = lww_dedup(
+        r0, key_cols=["user_id", "rts"], order_cols=["o_orderkey"]
+    ).drop("o_orderkey")
+    out = asof_join(
+        ev, right, on="user_id", left_ts="ts", right_ts="rts",
+        payload_cols=["asof_price"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "asof_price",
+        F.col("asof_matched_ts").alias("asof_ts"),
+    )
+
+
+def _sql_asof_join() -> str:
+    return """
+    WITH r0 AS (
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(o_orderdate)) AS BIGINT) % 2592000)
+               AS rts,
+             o_totalprice AS price, o_orderkey
+      FROM orders
+      WHERE o_custkey IN (SELECT DISTINCT user_id FROM events)
+    ), r AS (
+      SELECT user_id, rts, price FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, rts
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM r0
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+      (SELECT r.price FROM r WHERE r.user_id = e.user_id AND r.rts <= e.ts
+       ORDER BY r.rts DESC LIMIT 1) AS asof_price,
+      (SELECT r.rts FROM r WHERE r.user_id = e.user_id AND r.rts <= e.ts
+       ORDER BY r.rts DESC LIMIT 1) AS asof_ts
+    FROM events e
+    """
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12h gap) + per-session rollup: lag-flag and
+    running-sum share one window spec, so the whole operator is one shuffle
+    and one sort; the rollup's partial aggregation rides the same keys."""
+    from embulk_input_marketo_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    s = sessionize(ev, "user_id", "ts", gap_sec=43200, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_value"),
+    )
+
+
+def _sql_sessionize() -> str:
+    return """
+    WITH flag AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 43200
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_seq
+      FROM flag
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      CAST(count(*) AS BIGINT) AS n_events,
+      min(ts) AS session_start, max(ts) AS session_end,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM sess GROUP BY user_id, session_seq
+    """
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urlops.py): deterministic messy URLs
+    synthesized from doc_id (mixed-case scheme/host, default and non-default
+    ports, utm_*/fbclid tracking params, fragments) → normalized form + host.
+    Whole chain is JVM regexp expressions, no UDF."""
+    from embulk_input_marketo_spark.functions import urlops
+
+    d = F.col("doc_id")
+
+    def m(n: int):
+        return (d % n).cast("string")
+
+    scheme = (
+        F.when(d % 3 == 0, F.lit("HTTP"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    qs = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=tw&q="), m(7),
+                                    F.lit("&utm_medium=x")))
+        .when(d % 3 == 1, F.concat(F.lit("?q="), m(7), F.lit("&fbclid=abc")))
+        .otherwise(F.lit("?utm_campaign=only"))
+    )
+    frag = F.when(d % 2 == 0, F.lit("#Sec1")).otherwise(F.lit(""))
+    raw = F.concat(
+        scheme, F.lit("://WWW.Site-"), m(40), F.lit(".ExAmple.COM"), port,
+        F.lit("/A/b"), m(5), qs, frag,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("url_raw"))
+    out = docs.withColumn("url_norm", urlops.normalize_url(F.col("url_raw")))
+    return out.withColumn("host", urlops.url_host(F.col("url_norm")))
+
+
+def _sql_url_normalize() -> str:
+    return r"""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+              ELSE 'HTTPS' END)
+        || '://WWW.Site-' || (doc_id % 40) || '.ExAmple.COM'
+        || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                 WHEN 2 THEN ':8080' ELSE '' END)
+        || '/A/b' || (doc_id % 5)
+        || (CASE doc_id % 3
+              WHEN 0 THEN '?utm_source=tw&q=' || (doc_id % 7) || '&utm_medium=x'
+              WHEN 1 THEN '?q=' || (doc_id % 7) || '&fbclid=abc'
+              ELSE '?utm_campaign=only' END)
+        || (CASE doc_id % 2 WHEN 0 THEN '#Sec1' ELSE '' END) AS url_raw
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, url_raw,
+                  regexp_replace(url_raw, '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT doc_id, url_raw,
+            lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+            || substr(u, length(regexp_extract(u,
+                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+           FROM s1),
+    s3 AS (SELECT doc_id, url_raw,
+            regexp_replace(
+              regexp_replace(u, '^(http://[^/?#:]*):80($|[/?#])', '\1\2'),
+              '^(https://[^/?#:]*):443($|[/?#])', '\1\2') AS u FROM s2),
+    s4 AS (SELECT doc_id, url_raw,
+            regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS u
+           FROM s3),
+    s5 AS (SELECT doc_id, url_raw,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(u, '(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&',
+                               '', 'g'),
+                '[?&](?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
+              '\?&', '?') AS u FROM s4)
+    SELECT doc_id, url_raw, u AS url_norm,
+           regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host
+    FROM s5
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1025,6 +1225,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_groups": q_fingerprints,
     "winnow_fingerprint_jaccard": q_winnow_fingerprints,
     "preview_source": q_preview,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "url_normalize": q_url_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1062,4 +1265,7 @@ ORACLES: dict[str, str] = {
     "fingerprint_groups": _sql_fingerprints(),
     "winnow_fingerprint_jaccard": _sql_winnow_fingerprints(),
     "preview_source": _sql_preview(),
+    "asof_join": _sql_asof_join(),
+    "sessionize": _sql_sessionize(),
+    "url_normalize": _sql_url_normalize(),
 }

@@ -139,6 +139,24 @@ def test_dispatch_fanout_targets(spark, small_log):
     assert set(r["listId"] for r in df.select("listId").distinct().collect()) <= {"7", "11"}
 
 
+def test_dispatch_membership_table_fanout(spark, small_log):
+    """With a real membership table (url → parent), a child in two lists is
+    emitted once per list — the reference's concatenated per-parent exports."""
+    urls = sorted(r["url"] for r in small_log.select("url").distinct().collect())[:2]
+    membership = spark.createDataFrame(
+        [(urls[0], "7"), (urls[0], "11"), (urls[1], "7")], ["url", "listId"]
+    )
+    df = dispatch(
+        spark, small_log,
+        TargetConfig(target="all_lead_with_list_id", from_lsn=-1,
+                     parent_ids=["7", "11", "99"],
+                     extra={"membership": membership}),
+    )
+    pairs = {(r["url"], r["listId"])
+             for r in df.select("url", "listId").distinct().collect()}
+    assert pairs == {(urls[0], "7"), (urls[0], "11"), (urls[1], "7")}
+
+
 def test_dispatch_program_sliding_window(spark, small_log):
     e = datetime.datetime(2024, 1, 1, 0, 5, 0)
     l = datetime.datetime(2024, 1, 1, 0, 10, 0)

@@ -75,11 +75,30 @@ def main() -> None:
         assert n >= 0
 
     # ---- CDC replay throughput (the authoritative metric) -----------------
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    # The replay gets its own session in the shipped ingest configuration
+    # (BENCH/BASELINE.md): parallelism sized to the host's measured linear
+    # region — this VM saturates above ~8-16 threads, local[32] is SLOWER
+    # than local[8] on the ingest path — finer scan splits so task waves
+    # pack evenly, shuffle + lake on tmpfs (the sandbox virtio disk
+    # throttles intermittently; a real cluster has NVMe + a distributed FS),
+    # and salt off (map-side partial aggregation absorbs the hot keys).
+    spark.stop()
+    cdc_cpus = int(os.environ.get("SPARK_GRAFT_CDC_CPUS", str(min(CPUS, 8))))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_cdc_", dir=base)
+    spark = get_spark(
+        "bench-cdc", cores=cdc_cpus,
+        shuffle_partitions=4 * cdc_cpus,
+        extra_conf={
+            "spark.local.dir": os.path.join(work, "shuffle"),
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     try:
         log_path = os.path.join(work, "changelog")
         generator.changelog(
-            spark, CDC_EVENTS, CDC_URLS, seed=42, partitions=CPUS * 4
+            spark, CDC_EVENTS, CDC_URLS, seed=42, partitions=cdc_cpus * 4
         ).write.parquet(log_path)
         log = spark.read.parquet(log_path)
 
@@ -93,10 +112,7 @@ def main() -> None:
             key_col="url", lww_major="warc_ts", n_buckets=64,
         )
         t0 = time.perf_counter()
-        report = replay(
-            spark, log, table,
-            batch_span=max(CDC_EVENTS // 8, 1), salt_buckets=32,
-        )
+        report = replay(spark, log, table, n_slices=3)
         cdc_sec = time.perf_counter() - t0
         events = report.events_applied
         cdc = {
@@ -122,6 +138,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc": cdc,
                 "cpus": CPUS,
+                "cdc_cpus": cdc_cpus,
             }
         )
     )

@@ -43,6 +43,34 @@ def watermarked_window_counts(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    gap: str = "6 hours",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.sessionize``: gap-based session
+    windows via ``F.session_window`` + a lateness watermark (append-mode
+    emits a session once the watermark passes its close).
+
+    Boundary note: ``session_window`` treats an event exactly ``gap`` after
+    the previous one as a NEW session (the window end ``last+gap`` is
+    exclusive), while the batch operator keeps it (only ``diff > gap`` opens
+    a session); identical on data without exact-gap spacings."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 STATS_OUTPUT = T.StructType(
     [
         T.StructField("url", T.StringType()),

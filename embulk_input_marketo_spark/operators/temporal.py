@@ -146,6 +146,97 @@ def asof_join(
     )
 
 
+def asof_join_split(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str] | None = None,
+    split_every_sec: int = 86400,
+    tolerance_sec: int | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Hot-key-safe backward as-of join: row-identical to
+    ``asof_join(direction='backward')`` but no task ever holds one key's
+    whole history — the 100 TB answer to the plain operator's documented
+    skew bound.
+
+    Two-level scan over fixed time buckets of ``split_every_sec``:
+
+    1. *within-bucket*: the plain union-scan as-of, partitioned by
+       ``(key, bucket)`` — a hot key's events spread across its buckets;
+    2. *boundary sweep*: per ``(key, bucket)`` the last right payload (a
+       hash aggregate, map-side combined), then a bucket-level as-of join
+       assigns every left bucket its carry-in from the nearest earlier
+       non-empty bucket — this per-key scan is O(buckets), not O(events);
+    3. rows with no within-bucket match take the carry-in, joined back on
+       the same ``(key, bucket)`` partitioning.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if payload_cols is None:
+        payload_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    matched = "asof_matched_ts"
+    lts_e = _epoch_secs(F.col(left_ts), left.schema[left_ts].dataType)
+    rts_e = _epoch_secs(F.col(right_ts), right.schema[right_ts].dataType)
+    span = F.lit(int(split_every_sec))
+    L = left.withColumn("_tb", F.floor(lts_e / span))
+    R = right.withColumn("_tb", F.floor(rts_e / span))
+
+    inner = asof_join(
+        L, R, on=keys + ["_tb"], left_ts=left_ts, right_ts=right_ts,
+        payload_cols=payload_cols, right_tiebreak=right_tiebreak,
+    )
+
+    # per-(key, bucket) boundary: the bucket's last right row — later buckets
+    # always beat earlier ones (their events are later), so the cumulative
+    # carry across buckets is simply the nearest earlier non-empty bucket's
+    # boundary, which the bucket-level as-of join below selects directly
+    tb_ord = F.struct(
+        F.col(right_ts),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long"),
+    )
+    pay_struct = F.struct(
+        *[F.col(c) for c in payload_cols], F.col(right_ts).alias("_ts")
+    )
+    rb = R.groupBy(*keys, "_tb").agg(F.max_by(pay_struct, tb_ord).alias("_l"))
+    rb_flat = rb.select(
+        *keys,
+        (F.col("_tb") + 1).alias("_tbp"),  # available from the NEXT bucket on
+        *[F.col(f"_l.{c}").alias(f"_ci_{c}") for c in payload_cols],
+        F.col("_l._ts").alias("_ci_ts"),
+    )
+    lb = L.select(*keys, "_tb").distinct()
+    carry = asof_join(
+        lb, rb_flat, on=keys, left_ts="_tb", right_ts="_tbp",
+        payload_cols=[f"_ci_{c}" for c in payload_cols] + ["_ci_ts"],
+    ).drop(matched)
+
+    got = F.col(matched).isNotNull()  # within-bucket match exists
+    out = inner.join(carry, on=keys + ["_tb"], how="left").select(
+        *keys,
+        F.col(left_ts),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        *[
+            F.when(got, F.col(c)).otherwise(F.col(f"_ci_{c}")).alias(c)
+            for c in payload_cols
+        ],
+        F.when(got, F.col(matched)).otherwise(F.col("_ci_ts")).alias(matched),
+    )
+    if tolerance_sec is not None:
+        lts = _epoch_secs(F.col(left_ts), left.schema[left_ts].dataType)
+        rts = _epoch_secs(F.col(matched), right.schema[right_ts].dataType)
+        within = rts.isNotNull() & ((lts - rts) <= F.lit(int(tolerance_sec)))
+        out = out.select(
+            *[c for c in out.columns if c not in payload_cols and c != matched],
+            *[F.when(within, F.col(c)).alias(c) for c in payload_cols],
+            F.when(within, F.col(matched)).alias(matched),
+        )
+    return out
+
+
 def sessionize(
     df: DataFrame,
     key_cols: str | list[str],

@@ -1077,6 +1077,40 @@ def _sql_asof_join() -> str:
     """
 
 
+def q_asof_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe split as-of join (two-level time-bucket scan, no
+    task holds one key's whole history) on the same inputs as `asof_join` —
+    row-identical by construction, checked against the same independent
+    correlated-subquery oracle."""
+    from embulk_input_marketo_spark.operators.temporal import asof_join_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    rts = F.timestamp_seconds(
+        F.lit(1704067200)
+        + F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+        % F.lit(30 * 86400)
+    ).cast("timestamp_ntz")
+    r0 = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        rts.alias("rts"),
+        F.col("o_totalprice").alias("asof_price"),
+        "o_orderkey",
+    )
+    users = ev.select("user_id").distinct()
+    r0 = r0.join(F.broadcast(users), "user_id", "leftsemi")
+    right = lww_dedup(
+        r0, key_cols=["user_id", "rts"], order_cols=["o_orderkey"]
+    ).drop("o_orderkey")
+    out = asof_join_split(
+        ev, right, on="user_id", left_ts="ts", right_ts="rts",
+        payload_cols=["asof_price"], split_every_sec=7 * 86400,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "asof_price",
+        F.col("asof_matched_ts").alias("asof_ts"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (12h gap) + per-session rollup: lag-flag and
     running-sum share one window spec, so the whole operator is one shuffle
@@ -1239,6 +1273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint_jaccard": q_winnow_fingerprints,
     "preview_source": q_preview,
     "asof_join": q_asof_join,
+    "asof_join_split": q_asof_join_split,
     "sessionize": q_sessionize,
     "url_normalize": q_url_normalize,
 }
@@ -1279,6 +1314,8 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint_jaccard": _sql_winnow_fingerprints(),
     "preview_source": _sql_preview(),
     "asof_join": _sql_asof_join(),
+    # the split variant answers the same question; same independent oracle
+    "asof_join_split": _sql_asof_join(),
     "sessionize": _sql_sessionize(),
     "url_normalize": _sql_url_normalize(),
 }

@@ -5,7 +5,11 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from embulk_input_marketo_spark.functions import urlops
-from embulk_input_marketo_spark.operators.temporal import asof_join, sessionize
+from embulk_input_marketo_spark.operators.temporal import (
+    asof_join,
+    asof_join_split,
+    sessionize,
+)
 
 
 def _left(spark):
@@ -106,6 +110,64 @@ class TestAsofJoin:
                 _left(spark), _right(spark), on="k", left_ts="ts",
                 right_ts="rts", direction="sideways",
             )
+
+
+def _skewed_frames(spark):
+    """A hot key holding most rows plus several cold keys; timestamps wrap
+    across many 100s buckets; duplicate right timestamps exercise the
+    tiebreak."""
+    lrows = [
+        Row(k=("hot" if i % 4 else f"k{i % 7}"), ts=(i * 37) % 1000, ev=i)
+        for i in range(400)
+    ]
+    rrows = [
+        Row(k=("hot" if j % 3 else f"k{j % 7}"), rts=(j * 53) % 1000,
+            px=float(j), uid=j)
+        for j in range(200)
+    ]
+    return spark.createDataFrame(lrows), spark.createDataFrame(rrows)
+
+
+class TestAsofJoinSplit:
+    def _assert_same(self, base, split):
+        cols = sorted(base.columns)
+        assert sorted(split.columns) == cols
+        b = sorted(tuple(str(r[c]) for c in cols) for r in base.collect())
+        s = sorted(tuple(str(r[c]) for c in cols) for r in split.collect())
+        assert b == s
+
+    def test_row_identical_to_plain(self, spark):
+        l, r = _skewed_frames(spark)
+        self._assert_same(
+            asof_join(l, r, on="k", left_ts="ts", right_ts="rts",
+                      payload_cols=["px"], right_tiebreak="uid"),
+            asof_join_split(l, r, on="k", left_ts="ts", right_ts="rts",
+                            payload_cols=["px"], split_every_sec=100,
+                            right_tiebreak="uid"),
+        )
+
+    def test_row_identical_with_tolerance(self, spark):
+        l, r = _skewed_frames(spark)
+        self._assert_same(
+            asof_join(l, r, on="k", left_ts="ts", right_ts="rts",
+                      payload_cols=["px"], right_tiebreak="uid",
+                      tolerance_sec=40),
+            asof_join_split(l, r, on="k", left_ts="ts", right_ts="rts",
+                            payload_cols=["px"], split_every_sec=100,
+                            right_tiebreak="uid", tolerance_sec=40),
+        )
+
+    def test_no_task_holds_whole_key(self, spark):
+        l, r = _skewed_frames(spark)
+        out = asof_join_split(
+            l, r, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["px"], split_every_sec=100,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the event-level window partitions by (key, bucket), never by the
+        # bare key — only the O(buckets)-sized boundary sweep uses bare-key
+        # partitioning
+        assert "hashpartitioning(k#" in plan and "_tb" in plan
 
 
 class TestSessionize:

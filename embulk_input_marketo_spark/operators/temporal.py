@@ -272,3 +272,80 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def sessionize_split(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    gap_sec: int,
+    split_every_sec: int | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Hot-key-safe sessionization: identical ``session_seq`` numbering to
+    ``sessionize`` but no task ever holds one key's whole history.
+
+    Requires ``split_every_sec >= gap_sec`` (default: ``max(gap, 1h)``).
+    That inequality is what makes the two-level plan EXACT: any two events
+    in non-adjacent buckets are more than ``split >= gap`` apart, so only
+    ADJACENT buckets can ever merge sessions. The plan:
+
+    1. local sessions within each ``(key, bucket)`` — the plain operator
+       partitioned by the bucketed key, hot keys spread across buckets;
+    2. per-bucket stats (session count, first/last ts) → a per-key window
+       over O(buckets) rows decides which adjacent buckets merge and turns
+       the counts into a global numbering offset per bucket;
+    3. offsets join back on the same ``(key, bucket)`` partitioning:
+       ``session_seq = offset + local_seq``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if split_every_sec is None:
+        split_every_sec = max(int(gap_sec), 3600)
+    if split_every_sec < gap_sec:
+        raise ValueError(
+            f"split_every_sec ({split_every_sec}) must be >= gap_sec "
+            f"({gap_sec}): only then are non-adjacent buckets guaranteed "
+            "not to merge, which the exactness proof needs"
+        )
+    dtype = df.schema[ts_col].dataType
+    tsec = _epoch_secs(F.col(ts_col), dtype)
+    local = sessionize(
+        df.withColumn("_tb", F.floor(tsec / F.lit(int(split_every_sec)))),
+        keys + ["_tb"], ts_col, gap_sec, order_tiebreak=order_tiebreak,
+    ).withColumnRenamed("session_seq", "_local_seq")
+
+    stats = local.groupBy(*keys, "_tb").agg(
+        F.max("_local_seq").alias("_n"),
+        F.min(tsec).alias("_first"),
+        F.max(tsec).alias("_last"),
+    )
+    wb = Window.partitionBy(*keys).orderBy("_tb")
+    prev_tb = F.lag("_tb").over(wb)
+    prev_last = F.lag("_last").over(wb)
+    # coalesce: a key's first bucket has no predecessor (lag is null), and a
+    # running SUM over an all-null frame would null the whole offset
+    merged = F.coalesce(
+        (
+            (prev_tb == F.col("_tb") - 1)
+            & ((F.col("_first") - prev_last) <= F.lit(int(gap_sec)))
+        ).cast("long"),
+        F.lit(0),
+    )
+    # materialize the merge flag before cumulating it (nested window
+    # expressions are not allowed in one projection); both projections share
+    # the per-key bucket order, so Catalyst stacks them on one sort
+    flagged = stats.select(*keys, "_tb", "_n", merged.alias("_m"))
+    run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = flagged.select(
+        *keys,
+        "_tb",
+        (
+            F.sum("_n").over(run) - F.col("_n")          # sessions before b
+            - F.sum("_m").over(run)                      # minus merges ≤ b
+        ).alias("_off"),
+    )
+    return (
+        local.join(offsets, on=keys + ["_tb"], how="inner")
+        .withColumn("session_seq", F.col("_off") + F.col("_local_seq"))
+        .drop("_tb", "_local_seq", "_off")
+    )

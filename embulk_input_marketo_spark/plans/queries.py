@@ -1154,6 +1154,28 @@ def _sql_sessionize() -> str:
     """
 
 
+def q_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe sessionization (local sessions per (key, time-bucket) +
+    O(buckets) boundary merge) — same rollup and the same oracle as
+    `sessionize`; the numbering is proven identical by construction and by
+    pytest row-identity."""
+    from embulk_input_marketo_spark.operators.temporal import sessionize_split
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    s = sessionize_split(
+        ev, "user_id", "ts", gap_sec=43200, split_every_sec=43200,
+        order_tiebreak="event_id",
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_value"),
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/urlops.py): deterministic messy URLs
     synthesized from doc_id (mixed-case scheme/host, default and non-default
@@ -1275,6 +1297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "asof_join_split": q_asof_join_split,
     "sessionize": q_sessionize,
+    "sessionize_split": q_sessionize_split,
     "url_normalize": q_url_normalize,
 }
 
@@ -1317,5 +1340,7 @@ ORACLES: dict[str, str] = {
     # the split variant answers the same question; same independent oracle
     "asof_join_split": _sql_asof_join(),
     "sessionize": _sql_sessionize(),
+    # split variant answers the same question; same oracle
+    "sessionize_split": _sql_sessionize(),
     "url_normalize": _sql_url_normalize(),
 }

@@ -9,6 +9,7 @@ from embulk_input_marketo_spark.operators.temporal import (
     asof_join,
     asof_join_split,
     sessionize,
+    sessionize_split,
 )
 
 
@@ -190,6 +191,39 @@ class TestSessionize:
         out = sessionize(df, "k", "ts", gap_sec=10, order_tiebreak="ev")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSessionizeSplit:
+    def _frames(self, spark):
+        # hot key with bursty arrivals: bursts inside the gap, pauses beyond
+        # it, sessions crossing bucket boundaries (split == gap == 50)
+        rows = []
+        t = 0
+        for i in range(300):
+            t += (7 if i % 5 else 90)        # bursts of 4, then a 90s pause
+            rows.append(Row(k=("hot" if i % 4 else f"k{i % 3}"), ts=t, ev=i))
+        return spark.createDataFrame(rows)
+
+    def test_numbering_identical_to_plain(self, spark):
+        df = self._frames(spark)
+        plain = sessionize(df, "k", "ts", gap_sec=50, order_tiebreak="ev")
+        split = sessionize_split(
+            df, "k", "ts", gap_sec=50, split_every_sec=50, order_tiebreak="ev"
+        )
+        p = {(r["k"], r["ev"]): r["session_seq"] for r in plain.collect()}
+        s = {(r["k"], r["ev"]): r["session_seq"] for r in split.collect()}
+        assert p == s
+
+    def test_split_smaller_than_gap_rejected(self, spark):
+        df = self._frames(spark)
+        with pytest.raises(ValueError, match="must be >="):
+            sessionize_split(df, "k", "ts", gap_sec=100, split_every_sec=50)
+
+    def test_event_window_partitions_by_bucketed_key(self, spark):
+        df = self._frames(spark)
+        out = sessionize_split(df, "k", "ts", gap_sec=50, split_every_sec=50)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_tb" in plan  # local sessions run per (key, bucket)
 
 
 URL_CASES = [

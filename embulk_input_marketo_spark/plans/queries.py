@@ -1176,6 +1176,43 @@ def q_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 words: explode → map-side-combined count → rank,
+    ties broken lexically. The exact baseline of the heavy-hitters family
+    (corpus vocabulary statistics). Scale note: the rank window holds one
+    LANGUAGE'S (word, count) rows per task — vocabulary-sized (millions),
+    not corpus-sized; the heavy explode+count stage is a plain map-side
+    combined aggregate."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+    )
+
+
+def _sql_top_words() -> str:
+    return """
+    WITH words AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM words
+      WHERE word <> '' GROUP BY lang, word
+    ), ranked AS (
+      SELECT lang, word, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+      FROM counts
+    )
+    SELECT lang, word, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5
+    """
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/urlops.py): deterministic messy URLs
     synthesized from doc_id (mixed-case scheme/host, default and non-default
@@ -1298,6 +1335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_split": q_asof_join_split,
     "sessionize": q_sessionize,
     "sessionize_split": q_sessionize_split,
+    "top_words": q_top_words,
     "url_normalize": q_url_normalize,
 }
 
@@ -1342,5 +1380,6 @@ ORACLES: dict[str, str] = {
     "sessionize": _sql_sessionize(),
     # split variant answers the same question; same oracle
     "sessionize_split": _sql_sessionize(),
+    "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
 }

@@ -59,20 +59,176 @@ def main() -> None:
     from embulk_input_marketo_spark.replay import replay
     from embulk_input_marketo_spark.session import get_spark
 
-    spark = get_spark("bench", cores=CPUS)
+    # UI on for this session: the hotkey section reads per-task shuffle
+    # metrics from the REST API to evidence the split operators' task bound
+    spark = get_spark("bench", cores=CPUS, extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/session so query timings measure the plan, not startup
     spark.range(1000).count()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    # Noise defense (round-2 finding: single samples on this host swing ~3x
+    # with noisy-neighbor CPU-steal windows lasting minutes): run the WHOLE
+    # headline list N times interleaved and keep the per-query minimum — a
+    # noise window then inflates one pass, not one query, and min-of-passes
+    # recovers the true cost. bench/scaling.py solves the cross-config case;
+    # this solves the round-over-round comparison case.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    from embulk_input_marketo_spark.functions.compare import content_hash
+
+    for _ in range(repeats):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # content_hash consumes EVERY output column — a bare .count()
+            # lets Catalyst prune map-only queries down to a parquet count
+            # (round-2's quality_score "0.4s" measured exactly nothing)
+            n, _ = content_hash(df, df.columns)
+            samples[name].append(time.perf_counter() - t0)
+            assert n >= 0
+    per_query: dict[str, float] = {
+        name: round(min(ts), 3) for name, ts in samples.items()
+    }
+    query_spread = {
+        name: round(max(ts) / max(min(ts), 1e-9), 2)
+        for name, ts in samples.items()
+    }
+
+    # ---- hot-key split-operator design point ------------------------------
+    # A SINGLE key holding the whole frame: the plain operators' per-key
+    # window puts the key's ENTIRE history into one task; the split variants
+    # bound every task's input by time bucket. The design-point metric is
+    # that TASK-INPUT BOUND, measured from Spark's own task metrics (max
+    # per-task shuffle-read records via the UI REST API) — at this fixture
+    # size a single-task sort is still sub-second, so wall time (reported
+    # for transparency) favors the plain variant; the bound is what rules at
+    # 10⁸+-row keys, where the one task becomes a spilling straggler while
+    # 999 executors idle. r2 VERDICT "prove the split operators at their
+    # design point".
+    import json as _json
+    import urllib.request as _url
+
+    from pyspark.sql import functions as F
+
+    from embulk_input_marketo_spark.operators.temporal import (
+        asof_join, asof_join_split, sessionize, sessionize_split,
+    )
+
+    ui = spark.sparkContext.uiWebUrl
+    _app = _json.load(_url.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
+
+    def _stages():
+        return _json.load(
+            _url.urlopen(f"{ui}/api/v1/applications/{_app}/stages?status=COMPLETE")
+        )
+
+    def _max_task_read(from_stage: int) -> int:
+        mx = 0
+        for st in _stages():
+            if st["stageId"] < from_stage:
+                continue
+            try:
+                q = _json.load(_url.urlopen(
+                    f"{ui}/api/v1/applications/{_app}/stages/"
+                    f"{st['stageId']}/{st['attemptId']}/taskSummary?quantiles=1.0"
+                ))
+            except Exception:
+                continue
+            recs = q.get("shuffleReadMetrics", {}).get("readRecords") or [0]
+            mx = max(mx, int(max(recs)))
+        return mx
+
+    hot_n = int(os.environ.get("SPARK_GRAFT_HOTKEY_EVENTS", "1000000"))
+
+    def _fixture(n):
+        hot = (
+            spark.range(n)
+            .select(
+                F.lit(0).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.col("id") * 7 + F.col("id") % 3
+                ).alias("ts"),
+                F.col("id").alias("event_id"),
+                (F.col("id") % 97).cast("double").alias("value"),
+            )
+            .repartition(CPUS)
+            .cache()
+        )
+        quotes = (
+            spark.range(n // 20)
+            .select(
+                F.lit(0).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.col("id") * 140
+                ).alias("rts"),
+                (F.col("id") % 31).cast("double").alias("price"),
+            )
+            .cache()
+        )
+        hot.count(), quotes.count()  # materialize outside the measured runs
+        return hot, quotes
+
+    def _run(df_fn, force_col):
+        # the action must CONSUME the computed column: .count() lets Catalyst
+        # prune the Window/join away entirely (measured: plain 'ran' in 0.3s
+        # with a 32-record max task — it had optimized to nothing)
+        s0 = max((s["stageId"] for s in _stages()), default=-1) + 1
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        row = df_fn().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(force_col).alias("s")
+        ).collect()[0]
+        return round(time.perf_counter() - t0, 3), int(row["n"]), _max_task_read(s0)
+
+    scales = [hot_n // 4, hot_n]
+    ops = {
+        "sessionize": {"plain_sec": [], "split_sec": [],
+                       "plain_max_task_input_rows": [],
+                       "split_max_task_input_rows": []},
+        "asof_join": {"plain_sec": [], "split_sec": [],
+                      "plain_max_task_input_rows": [],
+                      "split_max_task_input_rows": []},
+    }
+    for n in scales:
+        hot, quotes = _fixture(n)
+        sp, c1, spx = _run(lambda: sessionize(
+            hot, "user_id", "ts", gap_sec=3600, order_tiebreak="event_id"),
+            "session_seq")
+        ss, c2, ssx = _run(lambda: sessionize_split(
+            hot, "user_id", "ts", gap_sec=3600, split_every_sec=43200,
+            order_tiebreak="event_id"), "session_seq")
+        ap, c3, apx = _run(lambda: asof_join(
+            hot, quotes, on="user_id", left_ts="ts", right_ts="rts",
+            payload_cols=["price"]), "price")
+        asp, c4, aspx = _run(lambda: asof_join_split(
+            hot, quotes, on="user_id", left_ts="ts", right_ts="rts",
+            payload_cols=["price"], split_every_sec=43200), "price")
+        assert c1 == c2 == n and c3 == c4 == n
+        ops["sessionize"]["plain_sec"].append(sp)
+        ops["sessionize"]["split_sec"].append(ss)
+        ops["sessionize"]["plain_max_task_input_rows"].append(spx)
+        ops["sessionize"]["split_max_task_input_rows"].append(ssx)
+        ops["asof_join"]["plain_sec"].append(ap)
+        ops["asof_join"]["split_sec"].append(asp)
+        ops["asof_join"]["plain_max_task_input_rows"].append(apx)
+        ops["asof_join"]["split_max_task_input_rows"].append(aspx)
+        hot.unpersist()
+        quotes.unpersist()
+
+    # the design-point claim, ASSERTED from Spark's own task metrics (record
+    # counts — deterministic, noise-immune): the plain variants funnel the
+    # whole key through ONE task (max-task-input == the key's history, grows
+    # linearly with it), while the split variants' bound stays flat (time-
+    # bucketed partitions, byte-coalesced by AQE) — at a 10⁸-row key the
+    # plain task is a spilling straggler, the split bound is unchanged
+    if hot_n >= 1_000_000:  # below that AQE coalesces the split fixture into
+        for op, d in ops.items():  # ~1 partition and the bound claim is moot
+            p4, p1 = d["plain_max_task_input_rows"]
+            s4, s1 = d["split_max_task_input_rows"]
+            assert p1 >= hot_n and p1 >= 3 * p4, (op, d)   # linear in key size
+            assert s1 <= 2 * s4 and s1 < p1 // 4, (op, d)  # flat, bounded
+    hotkey = {"single_hot_key_events": scales, **ops}
 
     # ---- CDC replay throughput (the authoritative metric) -----------------
     # The replay gets its own session in the shipped ingest configuration
@@ -137,8 +293,11 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc": cdc,
+                "hotkey": hotkey,
                 "cpus": CPUS,
                 "cdc_cpus": cdc_cpus,
+                "query_repeats": repeats,
+                "query_noise_maxmin": query_spread,
             }
         )
     )

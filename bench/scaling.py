@@ -219,7 +219,15 @@ def orchestrate() -> None:
         return b
 
     small, big = best(runs[N_SMALL]), best(runs[N_BIG])
-    eff = max(p["efficiency"] for p in pairs)
+    # headline = MEDIAN pair, not max (round-2 ADVICE): one lucky pair (4N in
+    # a fast host window against N in a slow one) must not mint a PASS the
+    # typical pair can't reproduce — the mirror image of the 0.577
+    # interleaving artifact this protocol already rejects. The per-pair table
+    # stays as the noise record; best pair is reported alongside.
+    import statistics
+
+    effs = [p["efficiency"] for p in pairs]
+    eff = round(statistics.median(effs), 3)
     summary = {
         "metric": "change-events/sec upsert throughput, two-parallelism scaling",
         "events": EVENTS,
@@ -229,6 +237,7 @@ def orchestrate() -> None:
         f"local[{N_BIG}]": big,
         "pairs": pairs,
         "scaling_efficiency": eff,
+        "scaling_efficiency_best_pair": max(effs),
         "pass_bar": 0.8,
         "pass": eff >= 0.8,
         "equivalence_pass": small["equivalence_pass"] and big["equivalence_pass"],
@@ -291,9 +300,9 @@ scale (identical sequential runs measured 45.7k and 83.0k ev/s 12 minutes
 apart), so an N-vs-4N ratio is only meaningful when both runs sample
 comparable host conditions. Each repeat therefore runs {small_k} then
 {big_k} BACK-TO-BACK, efficiency is computed WITHIN each adjacent pair, and
-the best pair is the headline — the window-filtering role best-of plays,
-applied to the quantity that matters (the within-window ratio); equivalence
-must pass on EVERY run. Two alternative protocols were tried and rejected
+the MEDIAN pair is the headline (best pair reported alongside; a single
+lucky pair must not mint a PASS the typical pair can't reproduce);
+equivalence must pass on EVERY run. Two alternative protocols were tried and rejected
 with data: best-of-per-config across interleaved runs (compares a golden
 window against a degraded one: measured 0.577 from pairs whose within-pair
 ratios were 1.048 and 0.242 — `BENCH/runs/scaling-20260816-235216.json`),
@@ -310,8 +319,9 @@ Per-pair results (adjacent runs, efficiency = (ev/s_4N / ev/s_N) / 4):
 
 {_pairs_rows(s)}
 
-**Scaling efficiency (best adjacent pair)**
-= **{s['scaling_efficiency']}** (pass bar ≥ 0.8 → {'PASS' if s['pass'] else 'FAIL'})
+**Scaling efficiency (median adjacent pair)**
+= **{s['scaling_efficiency']}** (pass bar ≥ 0.8 → {'PASS' if s['pass'] else 'FAIL'};
+best pair {s.get('scaling_efficiency_best_pair', s['scaling_efficiency'])})
 
 Equivalence = engine final state vs independent window-function oracle,
 compared by (row count, order-insensitive xxhash64 content sum) over all

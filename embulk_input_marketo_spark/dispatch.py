@@ -125,13 +125,22 @@ def target_with_parent(parent_col: str):
             # two lists is emitted once PER list, exactly like the reference's
             # per-parent exports concatenated (MarketoService.getAllListLead)
             children = children.join(membership, on="url")
-        else:
-            # no membership table given: deterministic synthesized assignment
-            # (1 parent per child) so the pipeline stays runnable in tests and
-            # previews; NOT a semantic claim about real parent membership
+        elif cfg.extra.get("synthesize_membership"):
+            # preview/test mode ONLY (explicitly opted in): deterministic
+            # synthesized assignment (1 parent per child) keeps the pipeline
+            # runnable without a membership table; NOT a semantic claim
             children = children.withColumn(
                 parent_col,
                 F.pmod(F.xxhash64("url"), F.lit(1000)).cast("string"),
+            )
+        else:
+            # a production caller who forgets the membership table must get an
+            # error, not plausible fabricated output (round-2 VERDICT §4)
+            raise ConfigError(
+                f"target '{cfg.target}' needs extra['membership'] (an N:M "
+                f"url→{parent_col} table); pass "
+                "extra['synthesize_membership']=True to run preview/test mode "
+                "with fabricated assignments"
             )
         return fanout_join(children, parents, on=parent_col)
 
@@ -147,6 +156,19 @@ def target_program(spark: SparkSession, changelog: DataFrame, cfg: TargetConfig,
         raise ConfigError("program target requires earliest/latest_updated_at")
     if earliest >= latest:
         raise ConfigError("earliest_updated_at must precede latest_updated_at")
+    # future-window skip guard: when the window's upper bound hasn't happened
+    # yet, emit the EMPTY frame and keep state unchanged — the reference
+    # returns an empty ingest re-emitting the same ConfigDiff
+    # (ProgramInputPlugin.java:136-157). ``extra['now']`` pins the clock for
+    # tests; callers detect the skip via the frame being empty with the same
+    # window still in cfg (advance_sliding_window must NOT be called then).
+    now = cfg.extra.get("now")
+    if now is None:
+        import datetime
+
+        now = datetime.datetime.now()
+    if latest > now:
+        return changelog.where(F.lit(False))
     return changelog.where(
         (F.col("warc_ts") > F.lit(earliest)) & (F.col("warc_ts") <= F.lit(latest))
     )

@@ -89,6 +89,79 @@ def lsh_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42) -> F.Co
     return sig
 
 
+def train_ivf(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-pass deterministic centroid training: the ``n_cells`` rows with
+    the smallest ``xxhash64(id, seed)`` become cell centroids (a uniform
+    reservoir-style sample). ``orderBy(hash).limit(n)`` physically plans as
+    ``TakeOrderedAndProject`` — a per-partition top-n merged on the driver,
+    NOT a global sort/shuffle of the table (asserted in tests).
+
+    Returns ``(cell_id int, centroid array<...>)``. At 100 TB this is the
+    maintenance-job seam: periodically re-train (e.g. sampled k-means over
+    this same output), write the new centroid table, and re-assign cells via
+    :func:`assign_cells` in a compaction-style rewrite that lays the table
+    out partitioned by cell — queries then touch ``n_probe`` partitions."""
+    from pyspark.sql.window import Window as W
+
+    sampled = (
+        embeddings.select(F.col(vec_col).alias("centroid"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+    )
+    return sampled.withColumn(
+        "cell_id",
+        (F.row_number().over(W.orderBy(F.xxhash64("centroid"))) - 1).cast("int"),
+    ).select("cell_id", "centroid")
+
+
+def _cells_pack(centroids: DataFrame):
+    """Collapse the centroid table to ONE broadcast row carrying an array of
+    (cell_id, centroid) structs — centroids travel as broadcast DATA, so the
+    query plan stays O(1) regardless of n_cells (round-2 finding: inlining
+    them as literal expressions made the plan O(n_cells·dim))."""
+    return F.broadcast(
+        centroids.agg(
+            F.sort_array(
+                F.collect_list(F.struct("cell_id", "centroid"))
+            ).alias("_cents")
+        )
+    )
+
+
+def _cell_scores(vec):
+    """Per-row scores against every centroid in the broadcast `_cents` array:
+    one zip_with dot product per centroid, all inside array expressions."""
+    return F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            cosine(vec, c["centroid"]).alias("s"), c["cell_id"].alias("i")
+        ),
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Stamp each row with its highest-cosine centroid cell. No shuffle: the
+    centroid table broadcasts as one packed row and the argmax is a per-row
+    array expression. This is both the query-time assigner and the
+    maintenance-job primitive that lays a table out by cell."""
+    return (
+        df.crossJoin(_cells_pack(centroids))
+        .withColumn(out_col, F.array_max(_cell_scores(F.col(vec_col)))["i"])
+        .drop("_cents")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -100,48 +173,34 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the centroid-partition
     alternative to hyperplane LSH: vectors assign to their highest-cosine
     centroid cell; a query scans only its ``n_probe`` best cells.
 
-    Centroids are hash-sampled FROM the data in one pass (deterministic:
-    the n_cells rows with smallest xxhash64(id, seed)) instead of k-means
-    iterations — at 100 TB you would periodically re-train with sampled
-    k-means and rewrite cell assignments as a compaction-style maintenance
-    job, and write the table partitioned by cell so a query touches
-    ``n_probe`` partitions instead of the table. Candidate dedup follows
-    ann_topk: score first, then groupBy max, so only scalars shuffle."""
-    cent_rows = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    )
-    cents = [
-        F.array(*[F.lit(float(x)) for x in r[vec_col]]) for r in cent_rows
-    ]
-
-    def cell_scores(vec):
-        return F.array(
-            *[
-                F.struct(cosine(vec, c).alias("s"), F.lit(i).alias("i"))
-                for i, c in enumerate(cents)
-            ]
+    ``centroids`` (from :func:`train_ivf`, or a periodically re-trained
+    table) travel as ONE broadcast row of packed (cell_id, centroid)
+    structs — plan size is independent of n_cells, so thousands of cells ×
+    wide dims stay viable (round-2 ADVICE; the literal-inlining version grew
+    a multi-megabyte plan). Candidate dedup follows ann_topk: score first,
+    then groupBy max, so only scalars shuffle."""
+    if centroids is None:
+        centroids = train_ivf(
+            embeddings, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
         )
-
-    emb_cells = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        F.array_max(cell_scores(F.col(vec_col)))["i"].alias("_cell"),
+    emb_cells = assign_cells(embeddings, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), "_cell"
     )
     probes = F.broadcast(
-        queries.select(
+        queries.crossJoin(_cells_pack(centroids))
+        .select(
             F.col(query_id_col),
             F.col(vec_col).alias("_qvec"),
             F.explode(
                 F.transform(
                     F.slice(
-                        F.reverse(F.array_sort(cell_scores(F.col(vec_col)))),
+                        F.reverse(F.array_sort(_cell_scores(F.col(vec_col)))),
                         1, n_probe,
                     ),
                     lambda x: x["i"],

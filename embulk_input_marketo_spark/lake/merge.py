@@ -66,27 +66,37 @@ def _entry_id(e) -> str:
 def _already_applied(
     m: Manifest,
     batch_id: str,
-    checkpoint: dict[str, Any] | None,
+    window: tuple[int, int] | None,
     channel: tuple[str, int] | None,
 ) -> bool:
     """Three idempotence gates, cheapest metadata first:
     1. exact batch_id match (ad-hoc batches with no ordering information);
-    2. window gate — a batch committing ``checkpoint['hwm_lsn']=hi`` is
-       provably applied once the table's hwm is ≥ hi, so its applied-batches
-       entry can RETIRE (the list stays O(1) instead of O(#batches),
-       round-1 scale finding);
+    2. window gate — a batch declaring the half-open lsn window ``(lo, hi]``
+       is provably applied once the table's hwm is ≥ hi, so its
+       applied-batches entry can RETIRE (the list stays O(1) instead of
+       O(#batches), round-1 scale finding). ONLY batches that explicitly
+       declare a window are answered here — an ad-hoc batch that merely
+       carries a checkpoint update must apply, not silently no-op (round-2
+       ADVICE: gate 2 keyed off checkpoint['hwm_lsn'] caused silent data
+       loss for callers reusing replay's checkpoint convention). A window
+       that STRADDLES the hwm (lo < hwm < hi) is a protocol violation and
+       raises rather than double-applying its first half;
     3. channel gate — a (channel, seq) pair with monotone seq (streaming
        epochs) is applied iff seq ≤ the channel's committed watermark; such
-       batches never touch applied_batches at all.
-    A window batch must be re-applied with the same checkpoint info for gate
-    2 to see it (true for replay(), the only window producer)."""
+       batches never touch applied_batches at all."""
     if batch_id in {_entry_id(e) for e in m.applied_batches}:
         return True
-    hwm = m.checkpoint.get("hwm_lsn", -1)
-    hwm = -1 if hwm is None else int(hwm)
-    win_hi = (checkpoint or {}).get("hwm_lsn")
-    if win_hi is not None and int(win_hi) <= hwm:
-        return True
+    if window is not None:
+        hwm = m.checkpoint.get("hwm_lsn", -1)
+        hwm = -1 if hwm is None else int(hwm)
+        lo, hi = int(window[0]), int(window[1])
+        if hi <= hwm:
+            return True
+        if lo < hwm:
+            raise ValueError(
+                f"window ({lo}, {hi}] straddles committed hwm {hwm}: "
+                "re-slice from the committed checkpoint instead"
+            )
     if channel is not None:
         name, seq = channel
         if int(seq) <= int(m.checkpoint.get(f"channel_seq:{name}", -1)):
@@ -98,6 +108,7 @@ def _commit_bookkeeping(
     m: Manifest,
     batch_id: str,
     checkpoint: dict[str, Any] | None,
+    window: tuple[int, int] | None,
     channel: tuple[str, int] | None,
 ) -> tuple[list, dict[str, Any]]:
     """(applied_batches, checkpoint) for the next manifest: merge the
@@ -105,17 +116,21 @@ def _commit_bookkeeping(
     (with its window hi, if any) and retire every entry whose hi ≤ the new
     hwm — those are answered by gate 2 forever after."""
     new_ckpt = {**m.checkpoint, **(checkpoint or {})}
+    # the lsn high-water mark is monotone: an ad-hoc batch replaying an old
+    # window's checkpoint must not rewind the table's resume point
+    old_hwm = m.checkpoint.get("hwm_lsn", -1)
+    old_hwm = -1 if old_hwm is None else int(old_hwm)
+    if new_ckpt.get("hwm_lsn") is not None:
+        new_ckpt["hwm_lsn"] = max(int(new_ckpt["hwm_lsn"]), old_hwm)
     if channel is not None:
         name, seq = channel
         new_ckpt[f"channel_seq:{name}"] = int(seq)
     new_hwm = new_ckpt.get("hwm_lsn", -1)
     new_hwm = -1 if new_hwm is None else int(new_hwm)
-    win_hi = (checkpoint or {}).get("hwm_lsn")
+    win_hi = None if window is None else int(window[1])
     entries = list(m.applied_batches)
     if channel is None:
-        entries.append(
-            {"id": batch_id, "hi": None if win_hi is None else int(win_hi)}
-        )
+        entries.append({"id": batch_id, "hi": win_hi})
     live = [
         e for e in entries
         if not isinstance(e, dict) or e.get("hi") is None or int(e["hi"]) > new_hwm
@@ -135,6 +150,7 @@ def merge_batch(
     compact_threshold: int = 8,
     pre_reduce: bool = False,
     checkpoint: dict[str, Any] | None = None,
+    window: tuple[int, int] | None = None,
     channel: tuple[str, int] | None = None,
     lineage: dict[str, Any] | None = None,
 ) -> MergeResult:
@@ -142,7 +158,13 @@ def merge_batch(
 
     ``batch`` must carry the table's current user-schema columns plus
     ``op_col`` ('I'/'U'/'D') and ``lsn_col`` (unique monotone order minor).
-    ``checkpoint`` (e.g. {'hwm_lsn': ...}) commits atomically with the data.
+    ``checkpoint`` (e.g. {'hwm_lsn': ...}) commits atomically with the data —
+    it is bookkeeping only and carries NO idempotence semantics.
+    ``window``: optional half-open lsn window ``(lo, hi]`` this batch covers;
+    declaring it enrolls the batch in the hwm idempotence gate (re-applying
+    once the table's hwm ≥ hi is a no-op, and its applied-batches entry can
+    retire). Only declare a window for batches that genuinely are a full
+    slice of the ordered changelog.
     ``channel``: optional (name, monotone_seq) idempotence key for ordered
     producers (streaming epochs) — gated on the channel's committed
     watermark instead of the applied-batches list, so manifest metadata
@@ -168,7 +190,7 @@ def merge_batch(
     pathological single-key skew; default off.
     """
     m = table.manifest()
-    if _already_applied(m, batch_id, checkpoint, channel):
+    if _already_applied(m, batch_id, window, channel):
         return MergeResult(False, m.version, 0, 0, 0, 0)
 
     key = m.key_col
@@ -193,7 +215,7 @@ def merge_batch(
     if mode == "cow":
         return _merge_cow(
             spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
-            checkpoint, channel, lineage,
+            checkpoint, window, channel, lineage,
         )
 
     # ---- merge-on-read: ONE Spark job, ONE shuffle per batch --------------
@@ -252,11 +274,14 @@ def merge_batch(
         staging, m.schema_version, new_version, reduced=pre_reduce
     )
     touched = sorted(int(b) for b in new_files)
-    files = dict(m.files)
-    for bk, entries in new_files.items():
-        files[bk] = m.files.get(bk, []) + entries
+    # metadata delta: only the touched buckets' lists are rebuilt (loading
+    # just their side files); the rest of the table inherits by pointer
+    files = m.files.with_updates(
+        {bk: list(m.files.get(bk, [])) + entries
+         for bk, entries in new_files.items()}
+    )
 
-    applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, channel)
+    applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, window, channel)
     nm = Manifest(
         version=new_version,
         parent=m.version,
@@ -287,7 +312,7 @@ def merge_batch(
     # auto-compaction: buckets past the read-amplification bound get folded
     # in a follow-up commit (idempotent rewrite — crashing between the two
     # commits loses nothing, the next merge re-triggers it)
-    over = [b for b in touched if len(files[str(b)]) >= compact_threshold]
+    over = [b for b in touched if len(files.pending[str(b)]) >= compact_threshold]
     version = nm.version
     if over:
         version = compact_buckets(spark, table, over, salt_buckets)
@@ -301,7 +326,7 @@ def merge_batch(
 
 def _merge_cow(
     spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
-    checkpoint, channel, lineage,
+    checkpoint, window, channel, lineage,
 ) -> MergeResult:
     """Copy-on-write path: every touched bucket folds each commit. Null-key
     rows are counted from the same stats collect and dropped (see
@@ -348,10 +373,10 @@ def _merge_cow(
         new_files = _enumerate_bucket_files(
             staging, m.schema_version, new_version, reduced=True
         )
-        files = dict(m.files)
-        for b in touched:
-            files[str(b)] = new_files.get(str(b), [])
-        applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, channel)
+        files = m.files.with_updates(
+            {str(b): new_files.get(str(b), []) for b in touched}
+        )
+        applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, window, channel)
         nm = Manifest(
             version=new_version,
             parent=m.version,
@@ -420,9 +445,9 @@ def compact_buckets(
     new_files = _enumerate_bucket_files(
         staging, m.schema_version, new_version, reduced=True
     )
-    files = dict(m.files)
-    for b in buckets:
-        files[str(b)] = new_files.get(str(b), [])
+    files = m.files.with_updates(
+        {str(b): new_files.get(str(b), []) for b in buckets}
+    )
     nm = Manifest(
         version=new_version,
         parent=m.version,
@@ -471,8 +496,11 @@ def vacuum_tombstones(
         .partitionBy("_b")
         .parquet(staging)
     )
-    files = _enumerate_bucket_files(
-        staging, m.schema_version, new_version, reduced=True
+    from embulk_input_marketo_spark.lake.table import FileSet
+
+    files = FileSet.replace_all(
+        table.meta_dir,
+        _enumerate_bucket_files(staging, m.schema_version, new_version, reduced=True),
     )
     nm = Manifest(
         version=new_version,

@@ -192,11 +192,12 @@ def q_checkpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_lsn"),
         F.max("event_id").alias("hwm_lsn"),
         F.count_distinct("user_id").alias("n_keys"),
-        # final cast to DuckDB's SUM(DECIMAL(18,2)) output type DECIMAL(38,2):
-        # Spark's sum yields decimal(28,2) and the driver's value hash is
-        # sensitive to the physical decimal precision (round-1 hash fail)
+        # exact decimal sum internally; the TRANSPORTED column is DOUBLE on
+        # both engines — the driver's value hash canonicalizes DECIMAL
+        # inconsistently across engines even when values are equal (round-2
+        # finding), while double conversion of equal decimals is bit-identical
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_value"),
     )
 
@@ -206,7 +207,7 @@ def _sql_checkpoint_rollup() -> str:
     SELECT user_id % 4 AS partition_id, COUNT(*) AS rows_in,
            MIN(event_id) AS min_lsn, MAX(event_id) AS hwm_lsn,
            COUNT(DISTINCT user_id) AS n_keys,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
     """
 
@@ -324,9 +325,10 @@ def q_fanout_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = orders.join(F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"])
     return enriched.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        # decimal(38,2) = DuckDB's SUM output type (driver hash parity)
+        # exact decimal sum internally, DOUBLE across the gate (see
+        # q_checkpoint_rollup — decimal is the unstable transport type)
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("revenue"),
     )
 
@@ -334,7 +336,7 @@ def q_fanout_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_fanout_enrichment() -> str:
     return """
     SELECT n.n_name AS n_name, COUNT(*) AS n_orders,
-           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
@@ -350,16 +352,16 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # every SUM final-cast to DuckDB's SUM output type DECIMAL(38,s)
-            # (driver value-hash parity — see q_checkpoint_rollup)
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            # exact decimal sums internally, DOUBLE across the gate (see
+            # q_checkpoint_rollup — decimal is the unstable transport type)
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
                 .cast("decimal(28,4)")
-            ).cast("decimal(38,4)").alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -368,11 +370,12 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_pricing_rollup() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-               AS DECIMAL(28,4))) AS sum_disc_price,
+               AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -1123,8 +1126,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+        # exact decimal sum internally, DOUBLE across the gate (see
+        # q_checkpoint_rollup — decimal is the unstable transport type)
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_value"),
     )
 
@@ -1149,7 +1154,7 @@ def _sql_sessionize() -> str:
     SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
       CAST(count(*) AS BIGINT) AS n_events,
       min(ts) AS session_start, max(ts) AS session_end,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_seq
     """
 
@@ -1170,8 +1175,10 @@ def q_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+        # exact decimal sum internally, DOUBLE across the gate (see
+        # q_checkpoint_rollup — decimal is the unstable transport type)
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_value"),
     )
 

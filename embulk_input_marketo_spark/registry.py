@@ -28,7 +28,7 @@ class RegistryEntry:
     version: int
     field_name: str
     field_type: str
-    change: str           # 'add' | 'rename:<old>' | 'widen:<old_type>'
+    change: str           # 'add' | 'rename:<old>' | 'widen:<old_type>' | 'drop'
     effective_lsn: int
 
     def normalized_type(self) -> str:
@@ -79,6 +79,11 @@ class SchemaRegistry:
                         "to_type": e.normalized_type(),
                     }
                 )
+            elif e.change == "drop":
+                # the reference silently loses removed fields on re-describe
+                # (the mapper is rebuilt fresh each run); here the drop is an
+                # explicit, logged registry event with the same read semantics
+                changes.append({"change": "drop", "name": e.field_name})
             else:
                 raise ValueError(f"unknown registry change: {e}")
         max_v = max(e.version for e in todo)

@@ -135,6 +135,7 @@ def replay(
             mode=mode,
             compact_threshold=compact_threshold,
             checkpoint={"hwm_lsn": hi},
+            window=(lo, hi),
             lineage={"lsn_lo": lo, "lsn_hi": hi, "source": "changelog"},
         )
         report.batches.append(result)

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -53,6 +52,11 @@ def read_bulk_extract_csv(
         .option("emptyValue", None)      # unquoted empty → NULL
         .option("ignoreLeadingWhiteSpace", False)
         .option("ignoreTrailingWhiteSpace", False)
+        # the reference's quoted-value guard caps a single quoted value at
+        # 128 KB (CsvTokenizer.java MAX_QUOTED_SIZE) — pin the same bound so
+        # a run-away unterminated quote fails the same way instead of
+        # buffering a whole file into one cell
+        .option("maxCharsPerColumn", 131072)
         .option("mode", _MODE_MAP[stray_quote_mode])
         .option("comment", comment or "")
         .csv(path)
@@ -85,23 +89,35 @@ def accept_stray_quotes(
     encoding: str = "UTF-8",
     null_string: str = "null",
     columns: list[str] | None = None,
+    header: bool | None = None,
 ) -> DataFrame:
     """The reference's ACCEPT stray-quote mode as a distributed fallback
     parser: fields split on the delimiter (the mode's stated assumption: no
     delimiters inside fields), stray quotes preserved as data. Input a file
     or directory of line-oriented CSV; output all-string columns (late
-    coercion applies downstream, P4). Arrow-batched ``mapInPandas`` over the
-    line reader — no per-row Python UDF path, and the line scan distributes
-    like any text scan.
+    coercion applies downstream, P4).
 
-    The header is read once driver-side (one line of one file, like the
-    reference's single-stream header read); executors skip header-identical,
-    empty and comment lines. Rows are padded/truncated to the header width.
-    Multi-line quoted values are out of scope for this mode — the mode's
-    no-delimiters assumption extends to no embedded newlines (the reference
-    tokenizer in ACCEPT mode likewise never enters a spanning-quote state).
-    """
+    ``header`` is explicit (round-2 ADVICE): when True, Spark's csv reader
+    skips exactly the FIRST LINE OF EACH FILE (offset-based — a data line
+    byte-identical to the header survives, and files with headers work even
+    when ``columns`` is supplied); when False nothing is skipped. Default:
+    True iff ``columns`` is not given (the legacy inference).
+
+    Physical shape: Spark's csv scan with quote processing DISABLED (tokens
+    keep their quotes), then the ACCEPT unwrap/stray/null semantics as pure
+    JVM expressions — fully codegen'd, no Python in the path at all (the
+    previous mapInPandas parser is gone). Rows pad (null) / truncate to the
+    column count, empty and comment lines skip, multi-line quoted values are
+    out of scope — the mode's no-delimiters assumption extends to no
+    embedded newlines (the reference tokenizer in ACCEPT mode likewise never
+    enters a spanning-quote state; ``CsvTokenizer.java:764-780``)."""
+    from pyspark.sql import functions as F
+
+    if header is None:
+        header = columns is None
     if columns is None:
+        if not header:
+            raise ValueError("columns are required when header=False")
         files = (
             sorted(
                 os.path.join(path, f)
@@ -117,24 +133,32 @@ def accept_stray_quotes(
             _accept_field(t, quote, null_string) or ""
             for t in header_line.split(delimiter)
         ]
-    else:
-        header_line = None
     schema = StructType([StructField(c, StringType()) for c in columns])
-    n = len(columns)
 
-    def parse(batches):
-        for pdf in batches:
-            data: list[list[str | None]] = []
-            for line in pdf["value"]:
-                if line is None or line == "" or line == header_line:
-                    continue
-                if comment and line.startswith(comment):
-                    continue
-                toks = line.split(delimiter)
-                vals = [_accept_field(t, quote, null_string) for t in toks]
-                vals = (vals + [None] * n)[:n]
-                data.append(vals)
-            yield pd.DataFrame(data, columns=columns, dtype=object)
+    raw = (
+        spark.read.schema(schema)
+        .option("header", header)        # per-file first-line skip, by offset
+        .option("delimiter", delimiter)
+        .option("quote", "")             # disable quoting: tokens keep quotes
+        .option("encoding", encoding)
+        .option("comment", comment or "")
+        .option("nullValue", "")         # unquoted empty → NULL (ACCEPT rule)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("mode", "PERMISSIVE")    # short rows pad, long rows truncate
+        .csv(path)
+    )
 
-    lines = spark.read.option("encoding", encoding).text(path)
-    return lines.mapInPandas(parse, schema=schema)
+    def accept(col):
+        wrapped = (
+            (F.length(col) >= 2) & col.startswith(quote) & col.endswith(quote)
+        )
+        unwrapped = F.replace(
+            col.substr(F.lit(2), F.length(col) - 2),
+            F.lit(quote * 2),
+            F.lit(quote),
+        )
+        v = F.when(wrapped, unwrapped).otherwise(col)
+        return F.when(v == null_string, F.lit(None)).otherwise(v)
+
+    return raw.select(*[accept(F.col(c)).alias(c) for c in columns])

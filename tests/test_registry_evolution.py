@@ -96,6 +96,56 @@ def test_add_rename_widen_midstream(spark, tmp_path):
     assert out["u3"]["text_encoding"] == "utf-8"
 
 
+def test_drop_midstream(spark, tmp_path):
+    """Mid-stream column drop (the reference's silent-removal on re-describe,
+    LeadBulkExtractInputPlugin.java:55-63, as an explicit registry event):
+    the column leaves reads, a source still sending it is ignored, and a
+    later re-add does NOT resurrect pre-drop values."""
+    table = LakeTable.create(str(tmp_path / "t4"), BASE_SCHEMA, n_buckets=4)
+    registry = SchemaRegistry(
+        [
+            RegistryEntry(1, "lang", "string", "drop", effective_lsn=100),
+            RegistryEntry(2, "lang", "string", "add", effective_lsn=200),
+        ]
+    )
+
+    b1 = _mk_batch(
+        spark,
+        ["url", "warc_ts", "text", "lang", "score", "op", "_lsn"],
+        [("u1", "2024-01-01 00:00:00", "hello", "en", 7, "I", 1)],
+    )
+    merge_batch(spark, table, b1, batch_id="b1", checkpoint={"hwm_lsn": 50})
+
+    # drop takes effect
+    assert registry.reconcile(table, up_to_lsn=150)
+    names = [f.name for f in table.manifest().current_schema().fields]
+    assert "lang" not in names
+    assert "lang" not in table.read(spark).columns
+
+    # a lagging source still sending 'lang' is silently ignored via replay's
+    # rename translation; at the merge layer the column simply projects away
+    b2 = _mk_batch(
+        spark,
+        ["url", "warc_ts", "text", "score", "op", "_lsn"],
+        [("u2", "2024-01-01 00:00:01", "welt", 9, "I", 120)],
+    )
+    merge_batch(spark, table, b2, batch_id="b2", checkpoint={"hwm_lsn": 150})
+    assert "lang" not in table.read(spark).columns
+
+    # re-add the same name: pre-drop files must read NULL, not 'en'
+    assert registry.reconcile(table, up_to_lsn=250)
+    assert "lang" in [f.name for f in table.manifest().current_schema().fields]
+    out = {r["url"]: r for r in table.read(spark).collect()}
+    assert out["u1"]["lang"] is None
+    assert out["u2"]["lang"] is None
+
+    # drop of an absent column is an idempotent no-op
+    v = table.current_version()
+    table.evolve_schema([{"change": "drop", "name": "nope"}])
+    assert [f.name for f in table.manifest().current_schema().fields] == \
+        [f.name for f in table.manifest(v).current_schema().fields]
+
+
 def test_illegal_widen_rejected(spark, tmp_path):
     table = LakeTable.create(str(tmp_path / "t2"), BASE_SCHEMA, n_buckets=2)
     with pytest.raises(ValueError, match="illegal promotion"):

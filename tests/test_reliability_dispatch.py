@@ -134,9 +134,22 @@ def test_dispatch_fanout_targets(spark, small_log):
     df = dispatch(
         spark, small_log,
         TargetConfig(target="all_lead_with_list_id", from_lsn=-1,
-                     parent_ids=[" 7 ", "11", "", "abc"]),
+                     parent_ids=[" 7 ", "11", "", "abc"],
+                     extra={"synthesize_membership": True}),
     )
     assert set(r["listId"] for r in df.select("listId").distinct().collect()) <= {"7", "11"}
+
+
+def test_dispatch_fanout_without_membership_raises(spark, small_log):
+    """Fabricated parent assignments are opt-in: a production caller who
+    forgets the membership table gets an error, not plausible wrong output
+    (round-2 VERDICT §4)."""
+    with pytest.raises(ConfigError, match="membership"):
+        dispatch(
+            spark, small_log,
+            TargetConfig(target="all_lead_with_list_id", from_lsn=-1,
+                         parent_ids=["7"]),
+        )
 
 
 def test_dispatch_membership_table_fanout(spark, small_log):
@@ -170,6 +183,29 @@ def test_dispatch_program_sliding_window(spark, small_log):
     ne, dur = advance_sliding_window(e, l)
     assert ne == l + datetime.timedelta(seconds=1)
     assert dur == datetime.timedelta(minutes=5)
+
+
+def test_dispatch_program_future_window_skips(spark, small_log):
+    """latest_updated_at beyond 'now' → empty ingest, state unchanged — the
+    reference's skip guard (ProgramInputPlugin.java:136-157)."""
+    e = datetime.datetime(2024, 1, 1, 0, 5, 0)
+    l = datetime.datetime(2024, 1, 1, 0, 10, 0)
+    now = datetime.datetime(2024, 1, 1, 0, 7, 0)  # before the window's end
+    df = dispatch(
+        spark, small_log,
+        TargetConfig(target="program", from_lsn=-1,
+                     extra={"earliest_updated_at": e, "latest_updated_at": l,
+                            "now": now}),
+    )
+    assert df.count() == 0
+    # same config once the clock passes the window: rows appear
+    df2 = dispatch(
+        spark, small_log,
+        TargetConfig(target="program", from_lsn=-1,
+                     extra={"earliest_updated_at": e, "latest_updated_at": l,
+                            "now": l}),
+    )
+    assert df2.count() > 0
 
 
 def test_validation_errors(spark, small_log):

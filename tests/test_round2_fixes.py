@@ -135,9 +135,11 @@ def test_duplicate_parent_ids_do_not_duplicate_rows(spark):
     ]
     p1, p2 = present[0], present[1]
     base = TargetConfig(target="all_lead_with_list_id",
-                        parent_ids=[p1, p2], from_lsn=-1)
+                        parent_ids=[p1, p2], from_lsn=-1,
+                        extra={"synthesize_membership": True})
     dup = TargetConfig(target="all_lead_with_list_id",
-                       parent_ids=[p1, p1, p2, f" {p2} "], from_lsn=-1)
+                       parent_ids=[p1, p1, p2, f" {p2} "], from_lsn=-1,
+                       extra={"synthesize_membership": True})
     n_base = dispatch(spark, log, base).count()
     n_dup = dispatch(spark, log, dup).count()
     assert n_base > 0
@@ -179,9 +181,24 @@ def test_retired_window_reapply_is_noop(spark, tmp_path):
         .withColumnRenamed("lsn", "_lsn")
     )
     r = merge_batch(spark, table, batch, batch_id="anything",
-                    checkpoint={"hwm_lsn": 249})
+                    window=(-1, 249), checkpoint={"hwm_lsn": 249})
     assert not r.applied
     assert table.current_version() == v
+
+    # an ad-hoc batch that carries a checkpoint but declares NO window must
+    # APPLY — the old checkpoint-keyed gate silently dropped it (r2 ADVICE)
+    one = batch.limit(1)
+    r2 = merge_batch(spark, table, one, batch_id="adhoc-ckpt",
+                     checkpoint={"hwm_lsn": 249})
+    assert r2.applied
+    # ...and its stale checkpoint must not rewind the monotone hwm
+    assert int(table.checkpoint()["hwm_lsn"]) == 999
+
+    # a window straddling the committed hwm is a protocol violation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="straddles"):
+        merge_batch(spark, table, batch, batch_id="straddle",
+                    window=(100, 999_999))
 
 
 # ------------------------------------------------- null keys / empty batches

@@ -1,0 +1,316 @@
+"""Round-3 fixes, each tied to a VERDICT/ADVICE item:
+
+- manifest metadata deltas: commit metadata is O(touched buckets), not
+  O(table) (VERDICT "What's wrong" §5 / next-round §3);
+- window idempotence gate only answers batches that carry a window
+  (ADVICE: silent data loss for ad-hoc batches reusing the checkpoint
+  convention);
+- scaling headline scored by median pair, not max (ADVICE on scaling.py).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_input_marketo_spark.lake import LakeTable
+from embulk_input_marketo_spark.lake.merge import merge_batch
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            Row(
+                url=u,
+                warc_ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ts),
+                value=float(v),
+                op=op,
+                lsn=lsn,
+            )
+            for (u, ts, v, op, lsn) in rows
+        ]
+    )
+
+
+def _snapshot_bytes(table: LakeTable, version: int) -> int:
+    return os.path.getsize(table._manifest_path(version))
+
+
+def _side_files_for_version(table: LakeTable, version: int) -> list[str]:
+    pref = f"bucket-{version:012d}-"
+    return [f for f in os.listdir(table.meta_dir) if f.startswith(pref)]
+
+
+class TestManifestMetadataDeltas:
+    def test_commit_metadata_stays_flat_as_table_grows(self, spark, tmp_path):
+        """MoR appends accumulate file entries per bucket, but each commit's
+        metadata write is O(touched buckets): side files only for touched
+        buckets, snapshot JSON size flat (pointers, not file lists)."""
+        table = LakeTable.create(
+            str(tmp_path / "t"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=16,
+        )
+        sizes = []
+        for i in range(6):
+            # one key → one bucket touched per commit; growing hwm retires
+            # the applied-batches entries (window gate answers them)
+            merge_batch(
+                spark, table,
+                _batch(spark, [("k0", i, i, "U", i)]),
+                batch_id=f"b{i}",
+                lsn_col="lsn",
+                compact_threshold=100,
+                checkpoint={"hwm_lsn": i},
+            )
+            v = table.current_version()
+            sizes.append(_snapshot_bytes(table, v))
+            assert len(_side_files_for_version(table, v)) == 1, (
+                "a single-bucket commit must write exactly one bucket side "
+                "file, not relist the table"
+            )
+
+        m = table.manifest()
+        bucket = next(iter(m.files))
+        assert len(m.files[bucket]) == 6  # the data DID accumulate
+        # manifest JSON size must not scale with accumulated file count
+        assert sizes[-1] <= sizes[1] * 1.3, sizes
+
+    def test_untouched_buckets_inherit_by_pointer(self, spark, tmp_path):
+        table = LakeTable.create(
+            str(tmp_path / "t2"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=16,
+        )
+        # seed many buckets
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"u{i}", i, i, "U", i) for i in range(64)]),
+            batch_id="seed", lsn_col="lsn", checkpoint={"hwm_lsn": 63},
+        )
+        m0 = table.manifest()
+        seeded = set(m0.files)
+        assert len(seeded) > 4
+        # now touch one key: only its bucket's side file is rewritten
+        merge_batch(
+            spark, table,
+            _batch(spark, [("u0", 100, 1.0, "U", 100)]),
+            batch_id="one", lsn_col="lsn", checkpoint={"hwm_lsn": 100},
+        )
+        v = table.current_version()
+        assert len(_side_files_for_version(table, v)) == 1
+        m1 = table.manifest()
+        # untouched buckets point at the seed commit's side files
+        unchanged = [
+            b for b in seeded if m1.files.ptrs[b] == m0.files.ptrs.get(b)
+        ]
+        assert len(unchanged) == len(seeded) - 1
+
+        # and the data is intact: LWW winner for u0, everything else as seeded
+        rows = {r["url"]: r["value"] for r in table.read(spark).collect()}
+        assert rows["u0"] == 1.0 and rows["u5"] == 5.0 and len(rows) == 64
+
+    def test_time_travel_across_delta_commits(self, spark, tmp_path):
+        """Old snapshots stay readable: their side files are never deleted."""
+        table = LakeTable.create(
+            str(tmp_path / "t3"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=8,
+        )
+        merge_batch(
+            spark, table, _batch(spark, [("a", 1, 1.0, "U", 1)]),
+            batch_id="b1", lsn_col="lsn", checkpoint={"hwm_lsn": 1},
+        )
+        v1 = table.current_version()
+        merge_batch(
+            spark, table, _batch(spark, [("a", 2, 2.0, "U", 2)]),
+            batch_id="b2", lsn_col="lsn", checkpoint={"hwm_lsn": 2},
+        )
+        old = table.read(spark, version=v1).collect()
+        new = table.read(spark).collect()
+        assert [r["value"] for r in old] == [1.0]
+        assert [r["value"] for r in new] == [2.0]
+
+    def test_ivf_plan_size_independent_of_n_cells(self, spark, sf_dir):
+        """Centroids travel as broadcast data, not literal expressions: the
+        physical plan for n_cells=256 must stay within ~2x of n_cells=8
+        (the literal-inlining version grew O(n_cells*dim) — r2 ADVICE)."""
+        from embulk_input_marketo_spark.functions import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        queries = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plans = {}
+        for n_cells in (8, 256):
+            df = similarity.ivf_topk(
+                emb, queries, dim=64, k=3, n_cells=n_cells, n_probe=2
+            )
+            plans[n_cells] = len(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        assert plans[256] < plans[8] * 2, plans
+
+    def test_train_ivf_uses_take_ordered_not_global_sort(self, spark, sf_dir):
+        """Sampling centroids is orderBy(hash).limit(n) — Spark plans that as
+        TakeOrderedAndProject (per-partition top-n), never a full Sort+Exchange
+        of the embedding table."""
+        from embulk_input_marketo_spark.functions import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = similarity.train_ivf(emb, n_cells=16)
+        plan = cents._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert cents.count() == 16
+
+    def test_ivf_precomputed_centroids_roundtrip(self, spark, sf_dir):
+        """train_ivf/assign_cells split: passing the trained centroid table
+        explicitly reproduces the in-line training result (the maintenance-
+        job retraining seam is a drop-in)."""
+        from embulk_input_marketo_spark.functions import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cents = similarity.train_ivf(emb, n_cells=8)
+        a = sorted(
+            (r.query_id, r.vec_id, r.rnk)
+            for r in similarity.ivf_topk(
+                emb, queries, dim=64, k=5, n_cells=8, n_probe=8
+            ).collect()
+        )
+        b = sorted(
+            (r.query_id, r.vec_id, r.rnk)
+            for r in similarity.ivf_topk(
+                emb, queries, dim=64, k=5, n_probe=8, centroids=cents
+            ).collect()
+        )
+        assert a == b
+
+    def test_csv_quoted_value_128kb_guard(self, spark, tmp_path):
+        """The reference caps a quoted value at 128 KB (CsvTokenizer's
+        quoted-value guard); the option mapping pins maxCharsPerColumn so an
+        oversized value fails rather than buffering unboundedly."""
+        from embulk_input_marketo_spark.sources.csv_source import (
+            read_bulk_extract_csv,
+        )
+
+        ok = tmp_path / "ok.csv"
+        ok.write_text('id,blob\n1,"' + "x" * 1000 + '"\n')
+        assert read_bulk_extract_csv(spark, str(ok)).count() == 1
+
+        big = tmp_path / "big.csv"
+        big.write_text('id,blob\n1,"' + "x" * 200_000 + '"\n')
+        with pytest.raises(Exception, match="(?i)maxCharsPerColumn|length"):
+            read_bulk_extract_csv(spark, str(big)).collect()
+
+    def test_stray_quotes_header_handling(self, spark, tmp_path):
+        """Explicit header param (r2 ADVICE): offset-based per-file skip — a
+        data line identical to the header survives; columns+header=True
+        works; header=False with columns skips nothing."""
+        from embulk_input_marketo_spark.sources.csv_source import (
+            accept_stray_quotes,
+        )
+
+        p = tmp_path / "h.csv"
+        p.write_text("id,name\n1,a\nid,name\n2,b\n")  # line 3 == header text
+
+        rows = {r["id"]: r["name"]
+                for r in accept_stray_quotes(spark, str(p)).collect()}
+        # the header-identical DATA line is kept (old parser dropped it)
+        assert rows == {"1": "a", "id": "name", "2": "b"}
+
+        # columns supplied AND the file has a header: header=True skips it
+        rows2 = {r["k"]: r["v"]
+                 for r in accept_stray_quotes(
+                     spark, str(p), columns=["k", "v"], header=True
+                 ).collect()}
+        assert rows2 == {"1": "a", "id": "name", "2": "b"}
+
+        # headerless file with columns: nothing skipped
+        p2 = tmp_path / "nh.csv"
+        p2.write_text("1,a\n2,b\n")
+        rows3 = {r["k"]: r["v"]
+                 for r in accept_stray_quotes(
+                     spark, str(p2), columns=["k", "v"]
+                 ).collect()}
+        assert rows3 == {"1": "a", "2": "b"}
+
+    def test_split_operators_row_identical_on_hot_key(self, spark):
+        """Design-point correctness: ONE key holds the entire frame (the
+        plain operators' worst case — their per-key window is a single task).
+        The split variants must be row-identical; the wall-time win at 10⁶
+        events is recorded by bench.py's hotkey section."""
+        from embulk_input_marketo_spark.functions.compare import content_hash
+        from embulk_input_marketo_spark.operators.temporal import (
+            asof_join, asof_join_split, sessionize, sessionize_split,
+        )
+
+        n = 100_000
+        hot = spark.range(n).select(
+            F.lit(0).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("id") * 7 + F.col("id") % 3
+            ).alias("ts"),
+            F.col("id").alias("event_id"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        quotes = spark.range(n // 20).select(
+            F.lit(0).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("id") * 140
+            ).alias("rts"),
+            (F.col("id") % 31).cast("double").alias("price"),
+        )
+
+        cols = ["user_id", "ts", "event_id", "value", "session_seq"]
+        plain = content_hash(
+            sessionize(hot, "user_id", "ts", gap_sec=3600,
+                       order_tiebreak="event_id").select(*cols), cols)
+        split = content_hash(
+            sessionize_split(hot, "user_id", "ts", gap_sec=3600,
+                             split_every_sec=43200,
+                             order_tiebreak="event_id").select(*cols), cols)
+        assert plain == split and plain[0] == n
+
+        acols = ["user_id", "ts", "event_id", "value", "price"]
+        aplain = content_hash(
+            asof_join(hot, quotes, on="user_id", left_ts="ts",
+                      right_ts="rts", payload_cols=["price"]).select(*acols),
+            acols)
+        asplit = content_hash(
+            asof_join_split(hot, quotes, on="user_id", left_ts="ts",
+                            right_ts="rts", payload_cols=["price"],
+                            split_every_sec=43200).select(*acols), acols)
+        assert aplain == asplit and aplain[0] == n
+
+    def test_pending_manifest_cannot_serialize(self, tmp_path):
+        """A FileSet with un-flushed pending buckets must not silently
+        serialize (the side files would be missing)."""
+        from embulk_input_marketo_spark.lake.table import FileSet, Manifest
+
+        m = Manifest(
+            version=1, parent=0, key_col="url", lww_major="warc_ts",
+            n_buckets=8, schema_version=1, schemas={"1": SCHEMA.jsonValue()},
+            renames=[], files=FileSet(str(tmp_path), pending={"0": []}),
+            applied_batches=[], checkpoint={}, summary={}, committed_at=0.0,
+        )
+        with pytest.raises(ValueError, match="pending"):
+            m.to_json()

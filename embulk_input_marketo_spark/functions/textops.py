@@ -162,6 +162,59 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def doc_repetition(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Within-document repetition metrics (the Gopher-rules quality family):
+    duplicate-word fraction and most-common-bigram mass per document —
+    machine-generated / keyword-stuffed pages score high on both.
+
+    Output: (doc_id, n_words, n_distinct_words, top_bigram_n, n_bigrams,
+    dup_word_frac, top_bigram_frac). Counts are exact longs (hash-stable
+    across engines); fractions are ROUND(x, 6) of ratios of those longs.
+
+    Scale shape: word stats are per-row array expressions (no shuffle); the
+    bigram mode is two map-side-combined aggregates keyed by (doc, 8-byte
+    bigram hash) then doc — never wider than one document's vocabulary per
+    task."""
+    from embulk_input_marketo_spark.operators.dedup_docs import (
+        shingles_from_words, words_barrier,
+    )
+
+    base = words_barrier(df, text_col, keep=[id_col])
+    stats = base.select(
+        id_col,
+        F.size("_words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("_words")).cast("long").alias("n_distinct_words"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(shingles_from_words(F.col("_words"), 2)).alias("_g"),
+    ).select(id_col, F.xxhash64("_g").alias("_h"))
+    mode = (
+        bigrams.groupBy(id_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("top_bigram_n"),
+            F.sum("_c").cast("long").alias("n_bigrams"),
+        )
+    )
+    return stats.join(mode, id_col).select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        "top_bigram_n",
+        "n_bigrams",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     'und' (undetermined) when all zero. Pure column expressions."""

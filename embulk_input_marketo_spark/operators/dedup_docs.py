@@ -18,7 +18,8 @@ xxhash64) — no Python in the hot path; determinism comes from seeded xxhash64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd  # module-level: pandas_udf resolves the stringified
+from pyspark.sql import DataFrame  # type hints against module globals
 from pyspark.sql import functions as F
 
 
@@ -70,6 +71,51 @@ def shingles(col, n: int = 5) -> F.Column:
     return shingles_from_words(F.split(normalize_text(col), " "), n)
 
 
+def boilerplate_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level duplicated-passage detector (the CCNet/RefinedWeb-style
+    boilerplate removal primitive): per document, how many of its DISTINCT
+    word shingles appear in ≥ ``min_docs`` distinct documents corpus-wide —
+    headers, footers, license blurbs and injected templates light up here.
+
+    Output: (doc_id, n_shingles, n_boilerplate, boilerplate_frac). A removal
+    pass is this plus a filter on the flagged shingles.
+
+    Scale shape: every shuffle key is an 8-byte xxhash64 of the shingle (the
+    strings never move after the map side); doc-frequency is one map-side-
+    combined count; the flag join is co-partitioned with that count's
+    exchange. Nothing is O(corpus²)."""
+    pairs = (
+        words_barrier(df, text_col, keep=[id_col])
+        .select(
+            id_col,
+            F.explode(
+                shingles_from_words(F.col("_words"), shingle_n)
+            ).alias("_g"),
+        )
+        .select(id_col, F.xxhash64("_g").alias("_h"))
+        .distinct()
+    )
+    dfreq = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        pairs.join(dfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("_df") >= min_docs).alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.round(F.col("n_boilerplate") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized-content group.
     Single hash aggregate; fingerprint = xxhash64 of normalized text so the
@@ -83,6 +129,89 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _minhash_np_udf(num_hashes: int, seed: int):
+    """Arrow pandas UDF computing the K-min family over shingle hashes with
+    a numpy reimplementation of Spark's XxHash64 — BIT-IDENTICAL to the
+    expression form ``xxhash64(h: long, i: int)`` (Spark folds children:
+    ``hashInt(i, hashLong(h, 42))``), asserted by
+    ``test_minhash_numpy_equals_expressions``. All lanes are wrapping uint64
+    numpy ops; one (K, n_shingles) matrix per row, min along shingles."""
+    import numpy as np
+
+    u64 = np.uint64
+
+    def _rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    def _avalanche(h):
+        h ^= h >> u64(33)
+        h *= u64(_P2)
+        h ^= h >> u64(29)
+        h *= u64(_P3)
+        h ^= h >> u64(32)
+        return h
+
+    def _hash_long(vals, s):
+        # XXH64 of one 8-byte (long) input with seed s
+        acc = vals * u64(_P2)
+        acc = _rotl(acc, 31) * u64(_P1)
+        h = u64(s + _P5 + 8) ^ acc
+        h = _rotl(h, 27) * u64(_P1) + u64(_P4)
+        return _avalanche(h)
+
+    def _hash_int(i, seeds):
+        # XXH64 of one 4-byte (int) input `i` with per-row seeds
+        h = seeds + u64(_P5 + 4)
+        h ^= u64((i & 0xFFFFFFFF) * _P1 & 0xFFFFFFFFFFFFFFFF)
+        h = _rotl(h, 23) * u64(_P2) + u64(_P3)
+        return _avalanche(h)
+
+    idx = list(range(seed, seed + num_hashes))
+
+    def f(sh: pd.Series) -> pd.Series:
+        # batch-level vectorization: all rows' shingle hashes concatenate
+        # into ONE lane array, each of the K family hashes is a single
+        # vectorized pass, and the per-row minima come from ONE
+        # minimum.reduceat over the row-offset segments — a per-row matrix
+        # loop left Python call overhead dominating (measured slower than
+        # the interpreted expressions at ~130 shingles/doc)
+        np_err = np.seterr(over="ignore")
+        try:
+            rows = list(sh)
+            valid = [i for i, r in enumerate(rows)
+                     if r is not None and len(r) > 0]
+            out: list = [None] * len(rows)
+            if not valid:
+                return pd.Series(out)
+            lens = np.array([len(rows[i]) for i in valid], dtype=np.int64)
+            all_h = np.concatenate(
+                [np.asarray(rows[i], dtype=np.int64) for i in valid]
+            ).view(np.uint64)
+            offsets = np.zeros(len(valid), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            inner = _hash_long(all_h, 42)
+            mins = np.empty((len(valid), num_hashes), dtype=np.int64)
+            for j, i in enumerate(idx):
+                # Spark's array_min compares SIGNED longs — min in the
+                # int64 view, not the unsigned lanes
+                hk = _hash_int(i, inner).view(np.int64)
+                mins[:, j] = np.minimum.reduceat(hk, offsets)
+            for k, i in enumerate(valid):
+                out[i] = mins[k].tolist()
+            return pd.Series(out)
+        finally:
+            np.seterr(**np_err)
+
+    return F.pandas_udf(f, "array<long>")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -90,25 +219,47 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 5,
     seed: int = 42,
+    accel: str = "auto",
 ) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(shingle, i).
 
-    One nested higher-order expression — transform over the hash-index
-    sequence of array_min over the shingles — instead of K inlined
-    projections: K separate array_min(transform(...)) expressions blow the
-    whole-stage-codegen method size (Janino compile failure → interpreted
-    fallback, ~10× slower). One pass, no explode, no shuffle."""
+    Two bit-identical backends for the K-min family over the (JVM-hashed)
+    shingle longs:
+
+    - ``accel='expr'`` (default, ='auto'): one nested higher-order
+      expression — transform over the hash-index sequence of array_min over
+      the shingles — instead of K inlined projections: K separate
+      array_min(transform(...)) expressions blow the whole-stage-codegen
+      method size (Janino compile failure → interpreted fallback, ~10×
+      slower). One pass, no explode, no shuffle.
+    - ``accel='np'``: an Arrow pandas UDF with a batch-vectorized numpy
+      XxHash64 (one lane array for the whole batch, per-row minima via
+      minimum.reduceat). Measured best-of-5 at sf0.1 (~130 words/doc):
+      2.26 s vs 2.27 s for the expressions — a DEAD HEAT, because the
+      JVM-side shingle string hashing dominates at this document length;
+      the expression path stays default (no Arrow hop). The np path is the
+      lever for long-document corpora where the K×n_shingles family work
+      actually dominates.
+
+    Equality of the two backends is pinned by
+    ``test_minhash_numpy_equals_expressions``; the banded-LSH plan on top is
+    identical either way."""
     # hash each shingle string ONCE to a long; the K family members then
     # hash that 8-byte long (far cheaper than re-hashing the string K times)
     sh = F.transform(
         shingles_from_words(F.col("_words"), shingle_n), lambda s: F.xxhash64(s)
     ).alias("_sh")
-    mins = F.transform(
-        F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("_sh"), lambda h: F.xxhash64(h, i))
-        ),
-    ).alias("minhash")
+    if accel == "auto":
+        accel = "expr"  # measured dead heat at bench shape; see docstring
+    if accel == "np":
+        mins = _minhash_np_udf(num_hashes, seed)(F.col("_sh")).alias("minhash")
+    else:
+        mins = F.transform(
+            F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("_sh"), lambda h: F.xxhash64(h, i))
+            ),
+        ).alias("minhash")
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     # each repartition is a MATERIALIZATION BARRIER, not (only) load
     # balancing: CollapseProject would otherwise inline the previous stage's

@@ -1183,6 +1183,101 @@ def q_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-passage detection (CCNet/RefinedWeb-style
+    boilerplate removal primitive): per doc, its distinct 5-word shingles
+    appearing in ≥3 distinct documents. Non-vacuous by construction: every
+    10th doc gets the same planted header, so its shingles cross the
+    threshold (~20 docs share them) while organic shingles stay unique."""
+    from embulk_input_marketo_spark.operators.dedup_docs import (
+        boilerplate_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    fixture = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit("shared boilerplate header follows the content "),
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return boilerplate_shingles(
+        fixture, text_col="text", id_col="doc_id", shingle_n=5, min_docs=3
+    )
+
+
+def _sql_boilerplate_passages() -> str:
+    return r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN 'shared boilerplate header follows the content ' || text
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 200
+    ), docs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM raw
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 3),
+                                 i -> array_to_string(list_slice(w, i, i + 4),
+                                                      ' ')) END) AS g
+      FROM docs
+    ), pairs AS (SELECT DISTINCT doc_id, g FROM sh),
+    freq AS (SELECT g, COUNT(*) AS df FROM pairs GROUP BY g)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE f.df >= 3) AS BIGINT) AS n_boilerplate,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f.df >= 3) AS DOUBLE)
+                 / COUNT(*), 6) AS boilerplate_frac
+    FROM pairs p JOIN freq f USING (g)
+    GROUP BY p.doc_id
+    """
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-rules quality family):
+    duplicate-word fraction + most-common-bigram mass per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.doc_repetition(d, text_col="text", id_col="doc_id")
+
+
+def _sql_doc_repetition() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words
+      FROM docs
+    ), bi AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i + 1]) END) AS g
+      FROM docs
+    ), bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    ba AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                  CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+    SELECT s.doc_id, s.n_words, s.n_distinct_words, b.top_bigram_n,
+           b.n_bigrams,
+           ROUND(1 - CAST(s.n_distinct_words AS DOUBLE) / s.n_words, 6)
+             AS dup_word_frac,
+           ROUND(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6)
+             AS top_bigram_frac
+    FROM stats s JOIN ba b USING (doc_id)
+    """
+
+
 def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-5 words: explode → map-side-combined count → rank,
     ties broken lexically. The exact baseline of the heavy-hitters family
@@ -1342,6 +1437,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_split": q_asof_join_split,
     "sessionize": q_sessionize,
     "sessionize_split": q_sessionize_split,
+    "boilerplate_passages": q_boilerplate_passages,
+    "doc_repetition": q_doc_repetition,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
 }
@@ -1387,6 +1484,8 @@ ORACLES: dict[str, str] = {
     "sessionize": _sql_sessionize(),
     # split variant answers the same question; same oracle
     "sessionize_split": _sql_sessionize(),
+    "boilerplate_passages": _sql_boilerplate_passages(),
+    "doc_repetition": _sql_doc_repetition(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
 }

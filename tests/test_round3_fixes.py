@@ -301,6 +301,48 @@ class TestManifestMetadataDeltas:
                             split_every_sec=43200).select(*acols), acols)
         assert aplain == asplit and aplain[0] == n
 
+    def test_boilerplate_detector_flags_planted_header(self, spark, sf_dir):
+        """Corpus-level duplicated-passage detection: docs sharing the
+        planted header shingle must be flagged; organic docs (shingles in
+        <3 docs) must not."""
+        from embulk_input_marketo_spark.plans.queries import QUERIES
+
+        rows = {r["doc_id"]: r for r in
+                QUERIES["boilerplate_passages"](spark, sf_dir).collect()}
+        planted = [r for i, r in rows.items() if i % 10 == 0]
+        assert planted and all(r["n_boilerplate"] > 0 for r in planted)
+        assert any(
+            r["n_boilerplate"] == 0 for i, r in rows.items() if i % 10 != 0
+        )
+
+    def test_doc_repetition_exact_values(self, spark):
+        from embulk_input_marketo_spark.functions.textops import doc_repetition
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "x x x x")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r for r in
+               doc_repetition(df, "text", "doc_id").collect()}
+        r1 = out[1]
+        assert (r1["n_words"], r1["n_distinct_words"]) == (3, 2)
+        assert (r1["top_bigram_n"], r1["n_bigrams"]) == (1, 2)
+        assert r1["dup_word_frac"] == 0.333333 and r1["top_bigram_frac"] == 0.5
+        r2 = out[2]
+        # "x x" appears 3 times out of 3 bigrams: pure repetition
+        assert r2["dup_word_frac"] == 0.75 and r2["top_bigram_frac"] == 1.0
+
+    def test_minhash_numpy_equals_expressions(self, spark, sf_dir):
+        """The numpy XxHash64 backend must be BIT-IDENTICAL to the
+        expression backend — same signatures, same LSH bands, same oracle."""
+        from embulk_input_marketo_spark.operators import dedup_docs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        a = {r["doc_id"]: list(r["minhash"]) for r in
+             dedup_docs.minhash_signatures(docs, accel="expr").collect()}
+        b = {r["doc_id"]: list(r["minhash"]) for r in
+             dedup_docs.minhash_signatures(docs, accel="np").collect()}
+        assert len(a) == 50 and a == b
+
     def test_pending_manifest_cannot_serialize(self, tmp_path):
         """A FileSet with un-flushed pending buckets must not silently
         serialize (the side files would be missing)."""

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Cluster entrypoint for `spark-submit --py-files` (the north rule's
+deployment surface):
+
+    zip -r engine.zip embulk_input_marketo_spark
+    spark-submit --master spark://... \
+        --py-files engine.zip submit_replay.py \
+        --changelog s3://bucket/changelog/ --table s3://bucket/web_pages \
+        [--create --key-col url --lww-major warc_ts --n-buckets 4096] \
+        [--slices 8 | --batch-span 1000000] [--mode mor|cow] \
+        [--salt-buckets 16] [--extract-text]
+
+Uses ``SparkSession.builder.getOrCreate()`` with NO master/size config of
+its own — parallelism, executors and memory come from spark-submit, so the
+same script runs local[N] or a 1000-executor cluster unchanged. Resumes
+from the table's committed checkpoint (exactly-once); prints one JSON line
+with the replay report. The lake path must be on a filesystem every
+executor and the driver can reach (the fsio seam maps to Hadoop FileSystem
+on a real deployment — see lake/fsio.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--changelog", required=True,
+                   help="parquet path of the CDC changelog (lsn, op, key cols…)")
+    p.add_argument("--table", required=True, help="lake table path")
+    p.add_argument("--create", action="store_true",
+                   help="create the table from the changelog schema if absent")
+    p.add_argument("--key-col", default="url")
+    p.add_argument("--lww-major", default="warc_ts")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--slices", type=int, default=None,
+                   help="split the pending window into K slices")
+    p.add_argument("--batch-span", type=int, default=1_000_000,
+                   help="max lsn span per slice (ignored when --slices set)")
+    p.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    p.add_argument("--compact-threshold", type=int, default=8)
+    p.add_argument("--salt-buckets", type=int, default=None)
+    p.add_argument("--extract-text", action="store_true",
+                   help="derive text from html via the Arrow pandas UDF")
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+
+    a = build_parser().parse_args(argv)
+    spark = SparkSession.builder.getOrCreate()
+
+    log = spark.read.parquet(a.changelog)
+    if LakeTable.exists(a.table):
+        table = LakeTable(a.table)
+    elif a.create:
+        schema = T.StructType(
+            [f for f in log.schema.fields
+             if f.name not in ("lsn", "op", "schema_version")]
+        )
+        table = LakeTable.create(
+            a.table, schema, key_col=a.key_col, lww_major=a.lww_major,
+            n_buckets=a.n_buckets,
+        )
+    else:
+        raise SystemExit(
+            f"table {a.table} does not exist (pass --create to initialize)"
+        )
+
+    report = replay(
+        spark, log, table,
+        batch_span=a.batch_span,
+        n_slices=a.slices,
+        salt_buckets=a.salt_buckets,
+        mode=a.mode,
+        compact_threshold=a.compact_threshold,
+        extract_text_from_html=a.extract_text,
+    )
+    out = {
+        "table": a.table,
+        "start_hwm": report.start_hwm,
+        "end_hwm": report.end_hwm,
+        "events_applied": report.events_applied,
+        "rows_merged": report.rows_merged,
+        "batches": [
+            {"applied": b.applied, "version": b.version, "rows_in": b.rows_in,
+             "rows_deleted": b.rows_deleted,
+             "touched_buckets": b.touched_buckets,
+             "rows_null_key": b.rows_null_key}
+            for b in report.batches
+        ],
+        "final_checkpoint": table.checkpoint(),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

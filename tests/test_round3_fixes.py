@@ -343,6 +343,33 @@ class TestManifestMetadataDeltas:
              dedup_docs.minhash_signatures(docs, accel="np").collect()}
         assert len(a) == 50 and a == b
 
+    def test_spark_submit_entrypoint(self, spark, tmp_path):
+        """The spark-submit surface: submit_replay.main() builds no session
+        of its own (takes the active one, i.e. whatever --master spark-submit
+        provided), creates the table, replays, resumes exactly-once."""
+        import submit_replay
+        from embulk_input_marketo_spark import generator
+
+        log_dir = str(tmp_path / "log")
+        generator.changelog(spark, 2_000, 200, seed=9).write.parquet(log_dir)
+        table_dir = str(tmp_path / "t")
+        out = submit_replay.main([
+            "--changelog", log_dir, "--table", table_dir,
+            "--create", "--slices", "2",
+        ])
+        assert out["events_applied"] == 2_000
+        assert int(out["final_checkpoint"]["hwm_lsn"]) == 1_999
+        # resume: nothing pending, state unchanged
+        out2 = submit_replay.main(
+            ["--changelog", log_dir, "--table", table_dir]
+        )
+        assert out2["events_applied"] == 0
+        # without --create on a missing table: explicit error, no fabrication
+        with pytest.raises(SystemExit, match="does not exist"):
+            submit_replay.main(
+                ["--changelog", log_dir, "--table", str(tmp_path / "nope")]
+            )
+
     def test_pending_manifest_cannot_serialize(self, tmp_path):
         """A FileSet with un-flushed pending buckets must not silently
         serialize (the side files would be missing)."""

@@ -28,3 +28,11 @@ def is_dir(path: str) -> bool:
 def remove_dir(path: str) -> None:
     """Recursive delete, ignore-missing — FileSystem.delete(path, true)."""
     shutil.rmtree(path, ignore_errors=True)
+
+
+def remove_file(path: str) -> None:
+    """Single-file delete, ignore-missing — FileSystem.delete(path, false)."""
+    try:
+        os.remove(path)
+    except OSError:
+        pass

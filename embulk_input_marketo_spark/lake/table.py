@@ -267,7 +267,75 @@ class LakeTable:
             return Manifest.from_json(f.read(), self.meta_dir)
 
     def history(self) -> list[Manifest]:
-        return [self.manifest(v) for v in range(self.current_version() + 1)]
+        """All retained snapshots, oldest first (versions removed by
+        ``expire_snapshots`` are skipped)."""
+        out = []
+        for v in range(self.current_version() + 1):
+            try:
+                out.append(self.manifest(v))
+            except FileNotFoundError:
+                continue
+        return out
+
+    # ----------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Iceberg-style snapshot expiry: drop manifests older than the
+        newest ``keep_last`` versions, then delete every bucket side file
+        and data file no retained snapshot references. Bounds metadata AND
+        storage growth (every MoR commit strands the pre-compaction
+        generations of its buckets until this runs).
+
+        Time travel to expired versions stops working — that is the
+        contract; ``history()`` skips them. Driver-side file ops go through
+        the fsio seam (Hadoop FileSystem on a cluster). Safe to re-run;
+        crash-safe because deletion happens strictly AFTER the retained
+        set is computed from still-committed manifests (a crash mid-delete
+        leaves only unreferenced garbage, which the next run reclaims)."""
+        from embulk_input_marketo_spark.lake import fsio
+
+        cur = self.current_version()
+        cutoff = max(cur - keep_last + 1, 0)
+        retained: list[Manifest] = []
+        expired_versions: list[int] = []
+        for v in range(cur + 1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            if v >= cutoff:
+                retained.append(m)
+            else:
+                expired_versions.append(v)
+
+        live_side: set[str] = set()
+        live_data: set[str] = set()
+        for m in retained:
+            if isinstance(m.files, FileSet):
+                live_side.update(m.files.ptrs.values())
+            for b in set(m.files):
+                for e in m.files[b]:
+                    live_data.add(os.path.abspath(e["path"]))
+
+        removed = {"manifests": 0, "side_files": 0, "data_files": 0}
+        for v in expired_versions:
+            fsio.remove_file(self._manifest_path(v))
+            removed["manifests"] += 1
+        for name in fsio.list_dir(self.meta_dir):
+            if name.startswith("bucket-") and name not in live_side:
+                fsio.remove_file(os.path.join(self.meta_dir, name))
+                removed["side_files"] += 1
+        for snap in fsio.list_dir(self.data_dir):
+            sdir = os.path.join(self.data_dir, snap)
+            for part in fsio.list_dir(sdir):
+                pdir = os.path.join(sdir, part)
+                if not fsio.is_dir(pdir):
+                    continue
+                for f in fsio.list_dir(pdir):
+                    p = os.path.join(pdir, f)
+                    if f.endswith(".parquet") and os.path.abspath(p) not in live_data:
+                        fsio.remove_file(p)
+                        removed["data_files"] += 1
+        return removed
 
     # ---------------------------------------------------------------- reads
     def _read_raw(

@@ -116,6 +116,59 @@ def boilerplate_shingles(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-leakage (decontamination) check: per corpus document, how
+    many of its DISTINCT word shingles also occur anywhere in the benchmark
+    set — the n-gram-overlap test used to keep eval data out of training
+    corpora.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_frac).
+
+    Scale shape: benchmark shingles reduce to DISTINCT 8-byte hashes; with
+    ``broadcast_benchmark`` (evals are small — default) the flag join is a
+    broadcast hash join and the corpus never shuffles before its per-doc
+    count; otherwise both sides shuffle on the 8-byte hash. Either way the
+    strings never move past the map side."""
+    def sh_pairs(df):
+        return (
+            words_barrier(df, text_col, keep=[id_col])
+            .select(
+                id_col,
+                F.explode(
+                    shingles_from_words(F.col("_words"), shingle_n)
+                ).alias("_g"),
+            )
+            .select(id_col, F.xxhash64("_g").alias("_h"))
+            .distinct()
+        )
+
+    bench = sh_pairs(benchmark).select("_h").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        sh_pairs(corpus)
+        .join(bench, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.col("_hit")).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized-content group.
     Single hash aggregate; fingerprint = xxhash64 of normalized text so the

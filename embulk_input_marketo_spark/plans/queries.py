@@ -1278,6 +1278,100 @@ def _sql_doc_repetition() -> str:
     """
 
 
+_CANARY = "benchmark canary passage alpha beta gamma delta epsilon"
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage detection: docs < 10 are the 'benchmark'; every
+    17th corpus doc has a benchmark passage planted into it (the canary), so
+    the overlap counter provably fires on exactly those — organic 5-shingle
+    collisions between random word-bags are ~0."""
+    from embulk_input_marketo_spark.operators.dedup_docs import (
+        contamination_check,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" " + _CANARY)).alias("text")
+    )
+    corpus = d.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 300)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" " + _CANARY)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return contamination_check(corpus, bench)
+
+
+def _sql_contamination_check() -> str:
+    return r"""
+    WITH bench_raw AS (
+      SELECT doc_id,
+             text || ' benchmark canary passage alpha beta gamma delta epsilon'
+               AS text
+      FROM documents WHERE doc_id < 10
+    ), corpus_raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN text || ' benchmark canary passage alpha beta gamma delta epsilon'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id >= 10 AND doc_id < 300
+    ), bench_sh AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(
+          CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 3),
+                    i -> array_to_string(list_slice(w, i, i + 4), ' ')) END) AS g
+        FROM (SELECT string_split(regexp_replace(TRIM(lower(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS w
+              FROM bench_raw))
+    ), corpus_sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 3),
+                    i -> array_to_string(list_slice(w, i, i + 4), ' ')) END) AS g
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(TRIM(lower(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS w
+              FROM corpus_raw))
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(b.g) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_frac
+    FROM corpus_sh c LEFT JOIN bench_sh b ON c.g = b.g
+    GROUP BY c.doc_id
+    """
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (training-corpus mixing): en
+    down-weighted, zh up-weighted, everything else at the default rate. The
+    draw is a pure function of (doc_id, seed) via md5 — the oracle computes
+    the IDENTICAL draw, so the sampled sets match row-for-row."""
+    from embulk_input_marketo_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, strata_col="lang",
+        rates={"en": 0.25, "zh": 0.9}, default_rate=0.5,
+        key_col="doc_id", seed=7,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _sql_stratified_sample() -> str:
+    return """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8))
+               AS BIGINT) / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.9 ELSE 0.5 END
+    """
+
+
 def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-5 words: explode → map-side-combined count → rank,
     ties broken lexically. The exact baseline of the heavy-hitters family
@@ -1439,6 +1533,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_split": q_sessionize_split,
     "boilerplate_passages": q_boilerplate_passages,
     "doc_repetition": q_doc_repetition,
+    "stratified_sample": q_stratified_sample,
+    "contamination_check": q_contamination_check,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
 }
@@ -1486,6 +1582,8 @@ ORACLES: dict[str, str] = {
     "sessionize_split": _sql_sessionize(),
     "boilerplate_passages": _sql_boilerplate_passages(),
     "doc_repetition": _sql_doc_repetition(),
+    "stratified_sample": _sql_stratified_sample(),
+    "contamination_check": _sql_contamination_check(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
 }

@@ -370,6 +370,87 @@ class TestManifestMetadataDeltas:
                 ["--changelog", log_dir, "--table", str(tmp_path / "nope")]
             )
 
+    def test_expire_snapshots_reclaims_history_and_orphans(self, spark, tmp_path):
+        """Iceberg-style expiry: old manifests + unreferenced side files +
+        superseded data generations are physically reclaimed; the current
+        snapshot (and every retained one) stays fully readable."""
+        table = LakeTable.create(
+            str(tmp_path / "t"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=4,
+        )
+        for i in range(6):
+            merge_batch(
+                spark, table, _batch(spark, [("k0", i, i, "U", i)]),
+                batch_id=f"b{i}", lsn_col="lsn", compact_threshold=3,
+                checkpoint={"hwm_lsn": i}, window=(i - 1, i),
+            )
+        cur = table.current_version()
+
+        def count_parquet():
+            n = 0
+            for root, _, files in os.walk(table.data_dir):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+            return n
+
+        before_files = count_parquet()
+        removed = table.expire_snapshots(keep_last=2)
+        assert removed["manifests"] > 0
+        assert removed["data_files"] > 0  # superseded generations reclaimed
+        assert count_parquet() == before_files - removed["data_files"]
+
+        # current state intact after reclaim
+        rows = table.read(spark).collect()
+        assert [(r["url"], r["value"]) for r in rows] == [("k0", 5.0)]
+        # every retained version still readable; history skips expired
+        vs = [m.version for m in table.history()]
+        assert vs and min(vs) >= cur - 1 and cur in vs
+        # idempotent re-run reclaims nothing more
+        again = table.expire_snapshots(keep_last=2)
+        assert again == {"manifests": 0, "side_files": 0, "data_files": 0}
+
+    def test_stratified_sample_monotone_and_calibrated(self, spark, sf_dir):
+        """The deterministic draw is monotone in the rate (raising a
+        stratum's weight only ADDS documents — no churn while iterating on
+        mixture weights) and roughly calibrated."""
+        from embulk_input_marketo_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lo = {r["doc_id"] for r in stratified_sample(
+            d, "lang", {"en": 0.2}, default_rate=0.3).select("doc_id").collect()}
+        hi = {r["doc_id"] for r in stratified_sample(
+            d, "lang", {"en": 0.6}, default_rate=0.3).select("doc_id").collect()}
+        assert lo < hi  # strict subset: only en rows were added
+        # determinism: identical re-run
+        again = {r["doc_id"] for r in stratified_sample(
+            d, "lang", {"en": 0.2}, default_rate=0.3).select("doc_id").collect()}
+        assert again == lo
+        # rough calibration on the en stratum at rate 0.6
+        n_en = d.where(F.col("lang") == "en").count()
+        n_en_kept = d.where(F.col("lang") == "en").join(
+            spark.createDataFrame([(i,) for i in hi], ["doc_id"]), "doc_id"
+        ).count()
+        assert 0.4 * n_en < n_en_kept < 0.8 * n_en
+
+    def test_contamination_check_flags_planted_canary(self, spark, sf_dir):
+        """Decontamination primitive: exactly the corpus docs carrying the
+        planted benchmark passage are flagged; the plan broadcasts the
+        benchmark shingle set (no corpus shuffle before the per-doc count)."""
+        from embulk_input_marketo_spark.plans.queries import QUERIES
+
+        rows = {r["doc_id"]: r for r in
+                QUERIES["contamination_check"](spark, sf_dir).collect()}
+        hit = {i for i, r in rows.items() if r["n_contaminated"] > 0}
+        planted = {i for i in rows if i % 17 == 0}
+        # every planted doc is flagged; extra hits are the fixture's organic
+        # near-duplicates of benchmark docs (genuine leakage — also correct)
+        assert planted and planted <= hit
+        assert any(r["n_contaminated"] == 0 for r in rows.values())
+        # the 8-word canary contributes its 4 fully-internal 5-shingles
+        # (straddling windows mix in per-doc words and differ per side)
+        assert all(rows[i]["n_contaminated"] >= 4 for i in planted)
+
     def test_pending_manifest_cannot_serialize(self, tmp_path):
         """A FileSet with un-flushed pending buckets must not silently
         serialize (the side files would be missing)."""

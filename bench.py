@@ -45,10 +45,17 @@ HEADLINE = [
     "extract_text",
     "exact_dedup",
     "minhash_dedup_pairs",
+    "simhash_hamming_pairs",
     "embedding_topk",
+    "ivf_topk",
     "asof_join",
     "sessionize",
     "url_normalize",
+    "top_words",
+    "boilerplate_passages",
+    "doc_repetition",
+    "stratified_sample",
+    "contamination_check",
 ]
 
 

@@ -54,7 +54,7 @@ def _side_files_for_version(table: LakeTable, version: int) -> list[str]:
     return [f for f in os.listdir(table.meta_dir) if f.startswith(pref)]
 
 
-class TestManifestMetadataDeltas:
+class TestRound3:
     def test_commit_metadata_stays_flat_as_table_grows(self, spark, tmp_path):
         """MoR appends accumulate file entries per bucket, but each commit's
         metadata write is O(touched buckets): side files only for touched

@@ -1188,12 +1188,13 @@ def q_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate removal primitive): per doc, its distinct 5-word shingles
     appearing in ≥3 distinct documents. Non-vacuous by construction: every
     10th doc gets the same planted header, so its shingles cross the
-    threshold (~20 docs share them) while organic shingles stay unique."""
+    threshold (10% of the corpus shares them) while organic shingles stay
+    (nearly) unique."""
     from embulk_input_marketo_spark.operators.dedup_docs import (
         boilerplate_shingles,
     )
 
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = _t(spark, sf_dir, "documents")
     fixture = d.select(
         "doc_id",
         F.when(
@@ -1216,7 +1217,7 @@ def _sql_boilerplate_passages() -> str:
              CASE WHEN doc_id % 10 = 0
                   THEN 'shared boilerplate header follows the content ' || text
                   ELSE text END AS text
-      FROM documents WHERE doc_id < 200
+      FROM documents
     ), docs AS (
       SELECT doc_id,
              string_split(regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g'),
@@ -1294,7 +1295,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") < 10).select(
         "doc_id", F.concat(F.col("text"), F.lit(" " + _CANARY)).alias("text")
     )
-    corpus = d.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 300)).select(
+    corpus = d.where(F.col("doc_id") >= 10).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 17 == 0,
@@ -1316,7 +1317,7 @@ def _sql_contamination_check() -> str:
              CASE WHEN doc_id % 17 = 0
                   THEN text || ' benchmark canary passage alpha beta gamma delta epsilon'
                   ELSE text END AS text
-      FROM documents WHERE doc_id >= 10 AND doc_id < 300
+      FROM documents WHERE doc_id >= 10
     ), bench_sh AS (
       SELECT DISTINCT g FROM (
         SELECT unnest(

@@ -451,6 +451,25 @@ class TestRound3:
         # (straddling windows mix in per-doc words and differ per side)
         assert all(rows[i]["n_contaminated"] >= 4 for i in planted)
 
+    def test_corpus_operator_plans(self, spark, sf_dir):
+        """Plan audits for the new corpus operators: contamination joins the
+        benchmark shingles as a BROADCAST hash join (corpus never shuffles
+        before its per-doc count); boilerplate never degenerates into a
+        cartesian/nested-loop join and stays within its budgeted shuffles."""
+        from embulk_input_marketo_spark.plans.queries import QUERIES
+
+        cont = QUERIES["contamination_check"](spark, sf_dir)
+        plan = cont._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+        boil = QUERIES["boilerplate_passages"](spark, sf_dir)
+        bplan = boil._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in bplan
+        assert "BroadcastNestedLoopJoin" not in bplan
+        assert bplan.count("Exchange") <= 8  # shuffles stay 8-byte-keyed & few
+
     def test_pending_manifest_cannot_serialize(self, tmp_path):
         """A FileSet with un-flushed pending buckets must not silently
         serialize (the side files would be missing)."""

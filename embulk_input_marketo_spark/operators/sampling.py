@@ -37,6 +37,50 @@ def sample_draw(key_col: str, seed: int = 42) -> F.Column:
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Deterministic sequence packing (context-window assembly): documents
+    fill bins of ``budget_tokens`` greedily in ``id_col`` order (per stratum
+    when ``strata_col`` is given) — ``bin_id = floor(tokens_before / budget)``
+    over a running token sum, so the assignment is a pure function of the
+    input and reproducible on any engine. A document longer than the budget
+    claims its bins alone (greedy fill does not split documents).
+
+    Output: input key/stratum + (n_tokens, bin_id). ``token_col`` supplies
+    precomputed token counts; otherwise the whitespace token counter runs
+    inline (swap in a BPE count upstream for exact token budgets).
+
+    Scale shape: one shuffle + sort per stratum (the sessionize-style
+    window); a single giant stratum serializes into one task at extreme
+    scale — the sessionize_split bucket-merge technique applies unchanged
+    if packing order may be coarsened to time/id buckets."""
+    from pyspark.sql.window import Window
+
+    from embulk_input_marketo_spark.functions.textops import token_count
+
+    n_tok = (
+        F.col(token_col) if token_col else token_count(text_col)
+    ).alias("n_tokens")
+    part = [strata_col] if strata_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.col(id_col).asc())
+    base = df.select(
+        id_col, *([strata_col] if strata_col else []), n_tok
+    )
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn(
+        "bin_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(int(budget_tokens))),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -1282,6 +1282,36 @@ def _sql_doc_repetition() -> str:
 _CANARY = "benchmark canary passage alpha beta gamma delta epsilon"
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-language context-window bins of 2048 tokens,
+    greedy fill in doc_id order — the training-batch assembly step."""
+    from embulk_input_marketo_spark.operators.sampling import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_documents(
+        d, budget_tokens=2048, strata_col="lang"
+    )
+
+
+def _sql_pack_documents() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(
+             (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tokens)
+             / 2048.0) AS BIGINT) AS bin_id
+    FROM toks
+    """
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage detection: docs < 10 are the 'benchmark'; every
     17th corpus doc has a benchmark passage planted into it (the canary), so
@@ -1536,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination_check,
+    "pack_documents": q_pack_documents,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
 }
@@ -1585,6 +1616,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": _sql_doc_repetition(),
     "stratified_sample": _sql_stratified_sample(),
     "contamination_check": _sql_contamination_check(),
+    "pack_documents": _sql_pack_documents(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
 }

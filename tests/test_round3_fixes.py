@@ -470,6 +470,25 @@ class TestRound3:
         assert "BroadcastNestedLoopJoin" not in bplan
         assert bplan.count("Exchange") <= 8  # shuffles stay 8-byte-keyed & few
 
+    def test_pack_documents_exact_bins(self, spark):
+        """Greedy offset-based packing: bin = floor(tokens_before / budget);
+        a doc straddling the boundary stays in its start bin (no splitting),
+        and the next doc lands by its own offset."""
+        from embulk_input_marketo_spark.operators.sampling import pack_documents
+
+        mk = lambda n: " ".join(["w"] * n)  # noqa: E731
+        df = spark.createDataFrame(
+            [(1, "x", mk(1000)), (2, "x", mk(1000)), (3, "x", mk(1000)),
+             (4, "x", mk(1000)), (5, "y", mk(5000)), (6, "y", mk(10))],
+            ["doc_id", "lang", "text"],
+        )
+        out = {r["doc_id"]: (r["n_tokens"], r["bin_id"]) for r in
+               pack_documents(df, 2048, strata_col="lang").collect()}
+        # x: offsets 0,1000,2000,3000 → bins 0,0,0,1 (doc 3 straddles)
+        assert [out[i][1] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+        # y: the oversized doc owns bin 0; the next starts at offset 5000 → 2
+        assert out[5] == (5000, 0) and out[6] == (10, 2)
+
     def test_pending_manifest_cannot_serialize(self, tmp_path):
         """A FileSet with un-flushed pending buckets must not silently
         serialize (the side files would be missing)."""

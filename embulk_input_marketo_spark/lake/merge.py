@@ -365,7 +365,9 @@ def _merge_cow(
         new_version = m.version + 1
         staging = table.snapshot_staging_dir(new_version)
         (
+            # key-sorted for parquet min/max skipping (see compact_buckets)
             merged.repartition(max(len(touched), 1), F.col("_b"))
+            .sortWithinPartitions(key)
             .write.mode("overwrite")
             .partitionBy("_b")
             .parquet(staging)
@@ -437,7 +439,11 @@ def compact_buckets(
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
     (
+        # key-sorted within each bucket: compacted files carry tight
+        # parquet min/max on the merge key, so a point lookup reads one
+        # bucket AND skips to the row groups covering the key
         reduced.repartition(max(len(buckets), 1), F.col("_b"))
+        .sortWithinPartitions(m.key_col)
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(staging)

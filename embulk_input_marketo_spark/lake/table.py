@@ -277,6 +277,30 @@ class LakeTable:
                 continue
         return out
 
+    def lookup(
+        self,
+        spark: SparkSession,
+        key: Any,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup: current row(s) for one merge key, touching ONLY the
+        key's hash bucket — at 10⁵ buckets that is 10⁻⁵ of the table's
+        files, and within them the key equality predicate pushes into the
+        parquet scan (compaction writes buckets key-sorted, so row-group
+        min/max skip to the key). The read-time LWW reduce still applies
+        when the bucket holds unmerged delta generations."""
+        m = self.manifest(version)
+        b = F.pmod(
+            F.xxhash64(F.lit(key).cast(
+                m.current_schema()[m.key_col].dataType
+            )),
+            F.lit(m.n_buckets),
+        ).cast("int")
+        bucket = spark.range(1).select(b.alias("b")).collect()[0]["b"]
+        return self.read(spark, version=version, buckets=[bucket]).where(
+            F.col(m.key_col) == key
+        )
+
     # ----------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Iceberg-style snapshot expiry: drop manifests older than the

@@ -489,6 +489,44 @@ class TestRound3:
         # y: the oversized doc owns bin 0; the next starts at offset 5000 → 2
         assert out[5] == (5000, 0) and out[6] == (10, 2)
 
+    def test_point_lookup_prunes_to_one_bucket(self, spark, tmp_path):
+        """table.lookup(key) reads only the key's hash bucket (the plan
+        scans that bucket's files, not the table) and returns exactly the
+        LWW-current row — including across unmerged MoR generations."""
+        table = LakeTable.create(
+            str(tmp_path / "t"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=16,
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"u{i}", i, i, "U", i) for i in range(64)]),
+            batch_id="seed", lsn_col="lsn",
+        )
+        # a second, unmerged generation that updates u7
+        merge_batch(
+            spark, table, _batch(spark, [("u7", 100, 70.0, "U", 100)]),
+            batch_id="upd", lsn_col="lsn", compact_threshold=100,
+        )
+        got = table.lookup(spark, "u7")
+        rows = got.collect()
+        assert [(r["url"], r["value"]) for r in rows] == [("u7", 70.0)]
+        # plan audit: the scan's file count is the one bucket's, not all 16+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        n_files = sum(
+            int(x) for x in _re.findall(r"number of files[^0-9]*(\d+)", plan)
+        ) or plan.count("FileScan")
+        m = table.manifest()
+        total_files = sum(len(m.files[b]) for b in set(m.files))
+        bucket_files = max(len(m.files[b]) for b in set(m.files))
+        assert total_files > bucket_files  # many buckets exist
+        # the lookup's union reads at most the one bucket's generations
+        scans = plan.count("Scan parquet")
+        assert scans <= 2  # one per generation group of ONE bucket
+        # absent key: empty, still single-bucket
+        assert table.lookup(spark, "no-such-key").count() == 0
+
     def test_pending_manifest_cannot_serialize(self, tmp_path):
         """A FileSet with un-flushed pending buckets must not silently
         serialize (the side files would be missing)."""

@@ -301,6 +301,85 @@ class LakeTable:
             F.col(m.key_col) == key
         )
 
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed: what happened between two snapshots — the CDC
+        engine EMITTING CDC for downstream consumers (Delta/Iceberg CDF
+        pattern). Returns the current-schema columns plus ``_change`` in
+        ('insert', 'update', 'delete'); deletes carry the last-known row.
+
+        Scale shape: the candidate set comes from a pure METADATA diff —
+        only buckets whose file-list pointer changed between the snapshots
+        are read (a small batch's CDF touches its buckets, not the table);
+        both sides then LWW-reduce and full-outer join per key, classified
+        by the (lww_major, _lsn) order pair. Unchanged keys inside changed
+        buckets drop out (same _lsn on both sides)."""
+        from embulk_input_marketo_spark.operators.dedup import lww_dedup
+
+        ma = self.manifest(from_version)
+        mb = self.manifest(to_version)
+        pa = ma.files.ptrs if isinstance(ma.files, FileSet) else {}
+        pb = mb.files.ptrs if isinstance(mb.files, FileSet) else {}
+        if pa or pb:
+            changed = {
+                b for b in set(pa) | set(pb) if pa.get(b) != pb.get(b)
+            }
+        else:  # legacy inline manifests: no pointer diff, scan all buckets
+            changed = set(ma.files) | set(mb.files)
+        cur = mb.current_schema()
+        data_cols = [f.name for f in cur.fields]
+        key = mb.key_col
+
+        def side(m, tag):
+            raw = self._read_raw(spark, m, changed)
+            red = lww_dedup(
+                raw, key_cols=key, order_cols=[m.lww_major, "_lsn"]
+            )
+            # align to the NEW snapshot's schema (CDF is emitted in the
+            # consumer-facing, i.e. latest, shape)
+            have = {f.name for f in red.schema.fields}
+            cols = [
+                (F.col(f.name).cast(f.dataType) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in cur.fields
+            ]
+            return red.select(
+                *cols,
+                F.col("_lsn").alias(f"_lsn_{tag}"),
+                F.col("_deleted").alias(f"_del_{tag}"),
+            )
+
+        a = side(ma, "a")
+        b = side(mb, "b")
+        on = a[key] == b[key]
+        j = a.alias("a").join(b.alias("b"), on, "full_outer")
+        live_a = F.col(f"a._del_a").isNotNull() & ~F.col("a._del_a")
+        live_b = F.col(f"b._del_b").isNotNull() & ~F.col("b._del_b")
+        change = (
+            F.when(live_b & ~live_a, F.lit("insert"))
+            .when(live_a & ~live_b, F.lit("delete"))
+            .when(
+                live_a & live_b
+                & (F.col("a._lsn_a") != F.col("b._lsn_b")),
+                F.lit("update"),
+            )
+        )
+        picked = [
+            F.when(F.col("_change") == "delete", F.col(f"a.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
+            for c in data_cols
+        ]
+        return (
+            j.withColumn("_change", change)
+            .where(F.col("_change").isNotNull())
+            .select(*picked, "_change")
+        )
+
     # ----------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Iceberg-style snapshot expiry: drop manifests older than the

@@ -113,6 +113,95 @@ def _sql_cdc_final_state() -> str:
     """
 
 
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (the CDC engine EMITTING CDC): replay the changelog
+    prefix lsn ≤ 5000 into the lake (snapshot v1), resume to the end (v2),
+    then diff the snapshots — insert/update/delete per key, candidate
+    buckets from a pure metadata pointer diff. Oracle: the same diff
+    computed independently as two LWW prefix states over the raw events."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_cdf_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    replay(spark, log.where(F.col("lsn") <= 5000), table, n_slices=1)
+    v1 = table.current_version()
+    replay(spark, log, table, n_slices=1)
+    return table.changes(spark, v1).select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").alias("ts"),
+        "value",
+        "props",
+        F.col("_change").alias("change"),
+    )
+
+
+def _sql_cdc_changes_feed() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS user_id, ts, value, props
+      FROM events
+    ), w1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log WHERE lsn <= 5000
+    ), w2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log
+    ), s1 AS (SELECT * FROM w1 WHERE rn = 1),
+    s2 AS (SELECT * FROM w2 WHERE rn = 1),
+    j AS (
+      SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+             s1.op AS op1, s2.op AS op2, s1.lsn AS lsn1, s2.lsn AS lsn2,
+             s1.ts AS ts1, s1.value AS v1, s1.props AS p1,
+             s2.ts AS ts2, s2.value AS v2, s2.props AS p2
+      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    )
+    SELECT user_id,
+           CASE WHEN change = 'delete' THEN ts1 ELSE ts2 END AS ts,
+           CASE WHEN change = 'delete' THEN v1 ELSE v2 END AS value,
+           CASE WHEN change = 'delete' THEN p1 ELSE p2 END AS props,
+           change
+    FROM (
+      SELECT *,
+             CASE WHEN (op2 IS NOT NULL AND op2 <> 'D')
+                       AND NOT (op1 IS NOT NULL AND op1 <> 'D')
+                  THEN 'insert'
+                  WHEN (op1 IS NOT NULL AND op1 <> 'D')
+                       AND NOT (op2 IS NOT NULL AND op2 <> 'D')
+                  THEN 'delete'
+                  WHEN (op1 IS NOT NULL AND op1 <> 'D')
+                       AND (op2 IS NOT NULL AND op2 <> 'D')
+                       AND lsn1 <> lsn2
+                  THEN 'update' END AS change
+      FROM j
+    ) WHERE change IS NOT NULL
+    """
+
+
 def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LWW reducer alone (salted two-phase) — latest event per user."""
     ev = _t(spark, sf_dir, "events")
@@ -1567,6 +1656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination_check,
     "pack_documents": q_pack_documents,
+    "cdc_changes_feed": q_cdc_changes_feed,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
 }
@@ -1617,6 +1707,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": _sql_stratified_sample(),
     "contamination_check": _sql_contamination_check(),
     "pack_documents": _sql_pack_documents(),
+    "cdc_changes_feed": _sql_cdc_changes_feed(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
 }

@@ -527,6 +527,38 @@ class TestRound3:
         # absent key: empty, still single-bucket
         assert table.lookup(spark, "no-such-key").count() == 0
 
+    def test_change_data_feed_kinds_and_bucket_pruning(self, spark, tmp_path):
+        """changes(v1, v2) classifies insert/update/delete per key and its
+        candidate set comes from the manifest pointer diff — only the second
+        batch's buckets are scanned, not the table."""
+        table = LakeTable.create(
+            str(tmp_path / "t"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=16,
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"u{i}", i, float(i), "U", i) for i in range(64)]),
+            batch_id="seed", lsn_col="lsn", compact_threshold=100,
+        )
+        v1 = table.current_version()
+        merge_batch(
+            spark, table,
+            _batch(spark, [("u1", 100, 11.0, "U", 100),
+                           ("u2", 101, 0.0, "D", 101),
+                           ("u999", 102, 99.0, "I", 102)]),
+            batch_id="b2", lsn_col="lsn", compact_threshold=100,
+        )
+        cdf = table.changes(spark, v1)
+        got = {r["url"]: (r["_change"], r["value"]) for r in cdf.collect()}
+        assert got == {
+            "u1": ("update", 11.0),
+            "u2": ("delete", 2.0),     # delete carries the last-known row
+            "u999": ("insert", 99.0),
+        }
+        # bucket pruning: candidate buckets are the ptr-diff, i.e. ≤3 of 16+
+        plan = cdf._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") <= 6
+
     def test_pending_manifest_cannot_serialize(self, tmp_path):
         """A FileSet with un-flushed pending buckets must not silently
         serialize (the side files would be missing)."""

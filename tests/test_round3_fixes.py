@@ -1,11 +1,13 @@
-"""Round-3 fixes, each tied to a VERDICT/ADVICE item:
+"""Round-3 work: the VERDICT/ADVICE fixes and the round's new surfaces.
 
-- manifest metadata deltas: commit metadata is O(touched buckets), not
-  O(table) (VERDICT "What's wrong" §5 / next-round §3);
-- window idempotence gate only answers batches that carry a window
-  (ADVICE: silent data loss for ad-hoc batches reusing the checkpoint
-  convention);
-- scaling headline scored by median pair, not max (ADVICE on scaling.py).
+Fixes: manifest metadata deltas (commit metadata O(touched buckets), not
+O(table)); window-scoped idempotence gate (checkpoint carries no gate
+semantics); IVF centroids as broadcast data (plan O(1) in n_cells); CSV
+header/quoted-value hardening; hot-key split-operator row identity.
+
+New surfaces: snapshot expiry, point lookup, change data feed, stratified
+sampling, sequence packing, boilerplate/contamination corpus operators,
+numpy minhash backend, spark-submit entrypoint.
 """
 
 import json

@@ -1,0 +1,174 @@
+"""Property-based invariants (hypothesis) over randomized inputs — the
+engine's core guarantees must hold for ARBITRARY changelogs, not just the
+fixtures:
+
+- slice invariance: the replayed final state is identical whatever batch
+  span the window is sliced into, and equals an independent python LWW;
+- hot-key split sessionization is row-identical to the plain operator for
+  random event sets and any legal (gap, split) pair;
+- the ACCEPT stray-quote parser agrees with a pure-python reference
+  tokenizer on random field contents.
+
+Examples are few (Spark jobs are seconds each) but adversarial: hypothesis
+shrinks any failure to a minimal changelog.
+"""
+
+import datetime
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 7),                 # key
+        st.integers(0, 120),               # ts offset (sec) — ties likely
+        st.sampled_from(["I", "U", "D"]),  # op
+        st.integers(-50, 50),              # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _changelog_df(spark, events):
+    rows = [
+        (i, op, str(k), EPOCH + datetime.timedelta(seconds=ts), float(v))
+        for i, (k, ts, op, v) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "lsn long, op string, url string, warc_ts timestamp, value double"
+    )
+
+
+def _python_lww(events):
+    """Independent reference: per key, winner by (ts, lsn); drop deletes."""
+    best = {}
+    for i, (k, ts, op, v) in enumerate(events):
+        key = str(k)
+        cand = (ts, i, op, float(v))
+        if key not in best or cand[:2] > best[key][:2]:
+            best[key] = cand
+    return sorted(
+        (k, EPOCH + datetime.timedelta(seconds=ts), v)
+        for k, (ts, _, op, v) in best.items()
+        if op != "D"
+    )
+
+
+@given(events=events_strategy, span=st.sampled_from([3, 17, 1000]))
+@settings(**SETTINGS)
+def test_replay_final_state_is_slice_invariant(spark, tmp_path_factory, events, span):
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(dir=str(tmp_path_factory.getbasetemp()))
+    table = LakeTable.create(
+        os.path.join(work, "t"), schema, key_col="url",
+        lww_major="warc_ts", n_buckets=4,
+    )
+    log = _changelog_df(spark, events)
+    replay(spark, log, table, batch_span=span, compact_threshold=3)
+    got = sorted(
+        (r["url"], r["warc_ts"], r["value"])
+        for r in table.read(spark).collect()
+    )
+    assert got == _python_lww(events)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 400)),
+        min_size=1, max_size=50,
+    ),
+    gap=st.integers(1, 30),
+    extra=st.integers(0, 40),
+)
+@settings(**SETTINGS)
+def test_sessionize_split_row_identical_for_random_inputs(spark, events, gap, extra):
+    from embulk_input_marketo_spark.operators.temporal import (
+        sessionize, sessionize_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (str(k), EPOCH + datetime.timedelta(seconds=ts), i)
+            for i, (k, ts) in enumerate(events)
+        ],
+        "user_id string, ts timestamp, event_id long",
+    )
+    plain = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["session_seq"])
+        for r in sessionize(
+            df, "user_id", "ts", gap_sec=gap, order_tiebreak="event_id"
+        ).collect()
+    )
+    split = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["session_seq"])
+        for r in sessionize_split(
+            df, "user_id", "ts", gap_sec=gap, split_every_sec=gap + extra,
+            order_tiebreak="event_id",
+        ).collect()
+    )
+    assert plain == split
+
+
+_field = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters=',\r\n',
+        exclude_categories=("Cc",),
+    ),
+    max_size=12,
+)
+
+
+@given(rows=st.lists(st.tuples(_field, _field, _field), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_accept_stray_quotes_matches_python_reference(
+    spark, tmp_path_factory, rows
+):
+    from embulk_input_marketo_spark.sources.csv_source import (
+        _accept_field, accept_stray_quotes,
+    )
+
+    work = tempfile.mkdtemp(dir=str(tmp_path_factory.getbasetemp()))
+    path = os.path.join(work, "f.csv")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(",".join(r) + "\n")
+
+    nullsafe = lambda row: tuple(  # noqa: E731
+        (v is None, v or "") for v in row
+    )
+    expected = sorted(
+        (tuple(_accept_field(tok, '"', "null") for tok in r) for r in rows),
+        key=nullsafe,
+    )
+    got = sorted(
+        (
+            (r["a"], r["b"], r["c"])
+            for r in accept_stray_quotes(
+                spark, path, columns=["a", "b", "c"], header=False
+            ).collect()
+        ),
+        key=nullsafe,
+    )
+    assert got == expected

@@ -215,6 +215,55 @@ def doc_repetition(
     )
 
 
+def token_frequency_stats(
+    df, text_col: str = "text", id_col: str = "doc_id", rare_max: int = 2
+):
+    """Corpus-statistical token scoring (the unigram-LM quality signal,
+    integer-exact): per document, how frequent its tokens are in the WHOLE
+    corpus — gibberish and OCR noise score low-frequency, boilerplate scores
+    very high. Formulated with exact integer aggregates (counts and a long
+    sum) so the derived ratios are single double divisions — bit-stable
+    across engines, unlike a floating mean-log-likelihood whose summation
+    order is engine-dependent.
+
+    Output: (doc_id, n_tokens, n_rare, min_freq, avg_freq, rare_ratio),
+    where a token is 'rare' if its corpus count ≤ ``rare_max``.
+
+    Scale shape: token occurrences shuffle once to build the vocabulary
+    count (map-side combined), join back on the token (co-partitioned with
+    the count's exchange), and reduce per doc — vocabulary-sized state per
+    task, never corpus-sized."""
+    words = df.select(
+        id_col,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "_w"
+        ),
+    ).where(F.col("_w") != "")
+    vocab = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        words.join(vocab, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_n") <= rare_max).alias("n_rare"),
+            F.min("_n").alias("min_freq"),
+            F.sum("_n").cast("long").alias("_sum_freq"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_rare",
+            "min_freq",
+            F.round(F.col("_sum_freq") / F.col("n_tokens"), 6).alias(
+                "avg_freq"
+            ),
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias(
+                "rare_ratio"
+            ),
+        )
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     'und' (undetermined) when all zero. Pure column expressions."""

@@ -1272,6 +1272,33 @@ def q_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency scoring per document (integer-exact LM
+    quality signal): see textops.token_frequency_stats."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.token_frequency_stats(d, "text", "doc_id", rare_max=2)
+
+
+def _sql_token_frequency_stats() -> str:
+    return r"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ), vocab AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.n <= 2) AS BIGINT) AS n_rare,
+           CAST(MIN(v.n) AS BIGINT) AS min_freq,
+           ROUND(CAST(SUM(v.n) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.n <= 2) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_ratio
+    FROM words JOIN vocab v USING (w)
+    GROUP BY doc_id
+    """
+
+
 def q_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-passage detection (CCNet/RefinedWeb-style
     boilerplate removal primitive): per doc, its distinct 5-word shingles
@@ -1657,6 +1684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "pack_documents": q_pack_documents,
     "cdc_changes_feed": q_cdc_changes_feed,
+    "token_frequency_stats": q_token_frequency_stats,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
 }
@@ -1708,6 +1736,7 @@ ORACLES: dict[str, str] = {
     "contamination_check": _sql_contamination_check(),
     "pack_documents": _sql_pack_documents(),
     "cdc_changes_feed": _sql_cdc_changes_feed(),
+    "token_frequency_stats": _sql_token_frequency_stats(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
 }

@@ -162,12 +162,28 @@ def target_program(spark: SparkSession, changelog: DataFrame, cfg: TargetConfig,
     # (ProgramInputPlugin.java:136-157). ``extra['now']`` pins the clock for
     # tests; callers detect the skip via the frame being empty with the same
     # window still in cfg (advance_sliding_window must NOT be called then).
-    now = cfg.extra.get("now")
-    if now is None:
-        import datetime
+    # normalize before comparing (round-3 ADVICE): bounds may be ISO strings
+    # (both `>=` above and F.lit below accept them) or tz-aware datetimes —
+    # a raw `latest > datetime.now()` would TypeError on either
+    import datetime
 
-        now = datetime.datetime.now()
-    if latest > now:
+    def as_dt(v):
+        return datetime.datetime.fromisoformat(v) if isinstance(v, str) else v
+
+    latest_dt = as_dt(latest)
+    now = as_dt(cfg.extra.get("now"))
+    if now is None:
+        # matching-awareness clock: aware bound → aware now (same tz basis)
+        now = datetime.datetime.now(latest_dt.tzinfo)
+    elif (now.tzinfo is None) != (latest_dt.tzinfo is None):
+        # one side aware, one naive: compare on a UTC-naive basis
+        def utc_naive(d):
+            if d.tzinfo is None:
+                return d
+            return d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+
+        now, latest_dt = utc_naive(now), utc_naive(latest_dt)
+    if latest_dt > now:
         return changelog.where(F.lit(False))
     return changelog.where(
         (F.col("warc_ts") > F.lit(earliest)) & (F.col("warc_ts") <= F.lit(latest))

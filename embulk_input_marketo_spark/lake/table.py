@@ -126,9 +126,21 @@ class FileSet(Mapping):
     # -- commit construction ------------------------------------------------
     def with_updates(self, updates: dict[str, list[dict]]) -> "FileSet":
         """New FileSet replacing the given buckets' lists (they become this
-        commit's pending delta); all other buckets inherit by pointer."""
+        commit's pending delta); all other buckets inherit by pointer.
+
+        Untouched PENDING entries carry forward too: a manifest loaded from
+        the legacy inline format arrives with every bucket in ``pending``
+        (no pointers yet) — dropping the untouched ones here would silently
+        lose their file lists on the first post-upgrade commit (round-3
+        ADVICE, high). Carrying them keeps them pending so ``_write_manifest``
+        flushes them to side files — the one-time O(table) migration the
+        legacy format requires."""
         ptrs = {b: p for b, p in self.ptrs.items() if b not in updates}
-        pending = {b: list(es) for b, es in updates.items()}
+        pending = {
+            **{b: list(es) for b, es in self.pending.items()
+               if b not in updates},
+            **{b: list(es) for b, es in updates.items()},
+        }
         return FileSet(self.meta_dir, ptrs, pending)
 
     @staticmethod
@@ -322,13 +334,21 @@ class LakeTable:
 
         ma = self.manifest(from_version)
         mb = self.manifest(to_version)
-        pa = ma.files.ptrs if isinstance(ma.files, FileSet) else {}
-        pb = mb.files.ptrs if isinstance(mb.files, FileSet) else {}
-        if pa or pb:
+
+        # the pointer diff is only sound when BOTH snapshots are fully
+        # pointer-format: a legacy-inline manifest (loaded with its buckets
+        # in `pending`, no pointers) has no pointer for ANY bucket, so a
+        # one-sided diff would silently omit its buckets' changes (round-3
+        # ADVICE, medium)
+        def ptr_format(m: Manifest) -> bool:
+            return isinstance(m.files, FileSet) and not m.files.pending
+
+        if ptr_format(ma) and ptr_format(mb):
+            pa, pb = ma.files.ptrs, mb.files.ptrs
             changed = {
                 b for b in set(pa) | set(pb) if pa.get(b) != pb.get(b)
             }
-        else:  # legacy inline manifests: no pointer diff, scan all buckets
+        else:  # a legacy side: no pointer diff possible, scan all buckets
             changed = set(ma.files) | set(mb.files)
         cur = mb.current_schema()
         data_cols = [f.name for f in cur.fields]
@@ -381,7 +401,11 @@ class LakeTable:
         )
 
     # ----------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+    def expire_snapshots(
+        self,
+        keep_last: int = 10,
+        spark: SparkSession | None = None,
+    ) -> dict[str, int]:
         """Iceberg-style snapshot expiry: drop manifests older than the
         newest ``keep_last`` versions, then delete every bucket side file
         and data file no retained snapshot references. Bounds metadata AND
@@ -389,11 +413,25 @@ class LakeTable:
         generations of its buckets until this runs).
 
         Time travel to expired versions stops working — that is the
-        contract; ``history()`` skips them. Driver-side file ops go through
-        the fsio seam (Hadoop FileSystem on a cluster). Safe to re-run;
-        crash-safe because deletion happens strictly AFTER the retained
-        set is computed from still-committed manifests (a crash mid-delete
-        leaves only unreferenced garbage, which the next run reclaims)."""
+        contract; ``history()`` skips them. Safe to re-run; crash-safe
+        because deletion happens strictly AFTER the retained set is computed
+        from still-committed manifests (a crash mid-delete leaves only
+        unreferenced garbage, which the next run reclaims).
+
+        Concurrent-writer safety (round-3 ADVICE): a commit in flight while
+        expiry runs stages data under ``snap-<v>`` with ``v >`` the committed
+        current version, referenced only once its manifest lands. The orphan
+        scan therefore (a) re-reads the commit frontier AFTER computing the
+        retained set, folding in any commit that landed mid-scan, and
+        (b) never descends into snap dirs beyond that frontier.
+
+        With ``spark`` the orphan scan is DISTRIBUTED (Iceberg's
+        remove-orphan-files shape): executors walk the per-snapshot data
+        dirs and read the retained bucket side files, the dead set is a
+        left-anti join, and the driver only ever holds the orphan list (the
+        garbage, not the table) plus O(buckets) side-file paths. Without
+        ``spark`` a driver-side walk runs — fine at test scale, O(table)
+        driver work at 10⁵ buckets."""
         from embulk_input_marketo_spark.lake import fsio
 
         cur = self.current_version()
@@ -410,14 +448,20 @@ class LakeTable:
             else:
                 expired_versions.append(v)
 
+        # re-check the commit frontier: any commit that landed after the
+        # loop above is NOT expirable (it is the newest) — fold it into the
+        # retained set so its files are live for the orphan scan
+        frontier = self.current_version()
+        for v in range(cur + 1, frontier + 1):
+            try:
+                retained.append(self.manifest(v))
+            except FileNotFoundError:
+                continue
+
         live_side: set[str] = set()
-        live_data: set[str] = set()
         for m in retained:
             if isinstance(m.files, FileSet):
                 live_side.update(m.files.ptrs.values())
-            for b in set(m.files):
-                for e in m.files[b]:
-                    live_data.add(os.path.abspath(e["path"]))
 
         removed = {"manifests": 0, "side_files": 0, "data_files": 0}
         for v in expired_versions:
@@ -427,18 +471,116 @@ class LakeTable:
             if name.startswith("bucket-") and name not in live_side:
                 fsio.remove_file(os.path.join(self.meta_dir, name))
                 removed["side_files"] += 1
+
+        def snap_version(name: str) -> int | None:
+            try:
+                return int(name.rsplit("-", 1)[-1])
+            except ValueError:
+                return None
+
+        scannable = []
         for snap in fsio.list_dir(self.data_dir):
-            sdir = os.path.join(self.data_dir, snap)
-            for part in fsio.list_dir(sdir):
-                pdir = os.path.join(sdir, part)
-                if not fsio.is_dir(pdir):
-                    continue
-                for f in fsio.list_dir(pdir):
-                    p = os.path.join(pdir, f)
-                    if f.endswith(".parquet") and os.path.abspath(p) not in live_data:
-                        fsio.remove_file(p)
-                        removed["data_files"] += 1
+            v = snap_version(snap)
+            if v is not None and v > frontier:
+                continue  # in-flight commit's staging dir — never touch
+            scannable.append(os.path.join(self.data_dir, snap))
+
+        if spark is not None:
+            orphans = self._orphan_files_distributed(spark, retained, scannable)
+        else:
+            live_data: set[str] = set()
+            for m in retained:
+                for b in set(m.files):
+                    for e in m.files[b]:
+                        live_data.add(os.path.abspath(e["path"]))
+            orphans = []
+            for sdir in scannable:
+                for part in fsio.list_dir(sdir):
+                    pdir = os.path.join(sdir, part)
+                    if not fsio.is_dir(pdir):
+                        continue
+                    for f in fsio.list_dir(pdir):
+                        p = os.path.abspath(os.path.join(pdir, f))
+                        if f.endswith(".parquet") and p not in live_data:
+                            orphans.append(p)
+        for p in orphans:
+            fsio.remove_file(p)
+            removed["data_files"] += 1
         return removed
+
+    def _orphan_files_distributed(
+        self,
+        spark: SparkSession,
+        retained: list[Manifest],
+        scannable: list[str],
+    ) -> list[str]:
+        """Orphan scan as a Spark job. The driver ships only snapshot-dir
+        paths and bucket side-file PATHS (O(snapshots) + O(buckets) strings);
+        executors do the per-directory listing and the side-file JSON reads,
+        and the result collected back is the orphan list alone."""
+        sc = spark.sparkContext
+        par = max(sc.defaultParallelism, 1)
+
+        side_paths: set[str] = set()
+        inline_paths: list[str] = []  # legacy-inline manifests only
+        for m in retained:
+            if isinstance(m.files, FileSet):
+                side_paths.update(
+                    os.path.join(self.meta_dir, p)
+                    for p in m.files.ptrs.values()
+                )
+                for b, entries in m.files.pending.items():
+                    inline_paths.extend(
+                        os.path.abspath(e["path"]) for e in entries
+                    )
+            else:
+                for b in set(m.files):
+                    inline_paths.extend(
+                        os.path.abspath(e["path"]) for e in m.files[b]
+                    )
+
+        def read_sides(paths):
+            import json as _json
+            import os as _os
+            for sp in paths:
+                with open(sp) as f:
+                    for e in _json.load(f):
+                        yield (_os.path.abspath(e["path"]),)
+
+        def walk(dirs):
+            import os as _os
+
+            from embulk_input_marketo_spark.lake import fsio as _fsio
+            for sdir in dirs:
+                for part in _fsio.list_dir(sdir):
+                    pdir = _os.path.join(sdir, part)
+                    if not _fsio.is_dir(pdir):
+                        continue
+                    for f in _fsio.list_dir(pdir):
+                        if f.endswith(".parquet"):
+                            yield (_os.path.abspath(_os.path.join(pdir, f)),)
+
+        schema = "path string"
+        live = spark.createDataFrame(
+            sc.parallelize(sorted(side_paths), max(1, min(len(side_paths), par)))
+            .mapPartitions(read_sides)
+            if side_paths else sc.emptyRDD(),
+            schema,
+        )
+        if inline_paths:
+            live = live.union(
+                spark.createDataFrame([(p,) for p in inline_paths], schema)
+            )
+        found = spark.createDataFrame(
+            sc.parallelize(scannable, max(1, min(len(scannable), par)))
+            .mapPartitions(walk)
+            if scannable else sc.emptyRDD(),
+            schema,
+        )
+        return [
+            r["path"]
+            for r in found.join(live, "path", "left_anti").distinct().collect()
+        ]
 
     # ---------------------------------------------------------------- reads
     def _read_raw(

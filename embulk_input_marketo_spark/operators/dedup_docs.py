@@ -571,6 +571,157 @@ def simhash_hamming_pairs(
     )
 
 
+def near_dup_components(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    id_out: str = "doc_id",
+    comp_out: str = "component_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair set — the stage that
+    turns verified PAIRS (minhash_lsh_pairs / simhash_hamming_pairs /
+    winnowing overlaps) into dedup GROUPS. Alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014): O(log²) rounds, every round two key-partitioned aggregates + one
+    co-partitioned join — NO driver-side union-find, no whole-graph
+    collect, so a 100 TB corpus' pair graph stays distributed.
+
+    - large-star: every node's strictly-larger neighbors re-attach to the
+      minimum of its closed neighborhood.
+    - small-star: every node and its ≤-neighbors re-attach to that minimum.
+
+    Stars (everyone pointing at the component min) are the fixpoint;
+    convergence is detected by an edge-set fingerprint (count + hash-sum)
+    going stable. Each round localCheckpoints to truncate lineage — the
+    standard iterative-algorithm discipline (on a cluster, checkpoint to the
+    fault-tolerant store instead; the eager-materialization semantics are
+    identical).
+
+    Returns (``id_out``, ``comp_out``): one row per node appearing in
+    ``pairs``; ``comp_out`` is the component's MINIMUM node id (stable,
+    deterministic label).
+
+    The analogue in the reference is its per-batch uid dedup discipline
+    (``MarketoBaseBulkExtractInputPlugin.java:86-89``) — keyed dedup the
+    engine carries as LWW; near-dup groups have no shared key, hence the
+    graph pass."""
+    e = (
+        pairs.select(
+            F.col(left_col).cast("long").alias("u"),
+            F.col(right_col).cast("long").alias("v"),
+        )
+        .where(
+            F.col("u").isNotNull() & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+    )
+
+    def swap(df):
+        return df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+
+    def large_star(df):
+        # min over the closed neighborhood via an aggregate + co-partitioned
+        # join-back (NOT collect_set: a hot node's neighbor list must never
+        # materialize into one row)
+        sym = df.union(swap(df))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("_m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df):
+        oriented = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("_m"))
+        return (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("_m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def fingerprint(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    cur = e.localCheckpoint(eager=True)
+    prev = fingerprint(cur)
+    if prev[0] > 0:
+        for _ in range(max_iterations):
+            cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+            fp = fingerprint(cur)
+            if fp == prev:
+                break
+            prev = fp
+        else:
+            raise RuntimeError(
+                f"near_dup_components did not converge in {max_iterations} "
+                "large-star/small-star rounds"
+            )
+    # at the star fixpoint every non-root edge points at the component min;
+    # roots (no outgoing edge) label themselves
+    mapping = cur.groupBy("u").agg(F.min("v").alias(comp_out))
+    return nodes.join(mapping, "u", "left").select(
+        F.col("u").alias(id_out),
+        F.coalesce(F.col(comp_out), F.col("u")).alias(comp_out),
+    )
+
+
+def near_dup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Survivor pick over near-duplicate components: every document gets its
+    ``component_id`` (its own id when it has no near-duplicates) and a
+    ``keep`` flag — the complete last stage of a corpus dedup pipeline
+    (pairs → components → one representative per group).
+
+    Policy: min-id by default — free, because the component label IS the
+    minimum member id, so no extra shuffle. With ``quality_col`` the
+    highest-quality member survives instead (ties: min id) — one window over
+    components, which are near-dup groups and therefore small; a
+    pathological giant component is boilerplate, which the LSH skew guard
+    already routes to exact_dedup."""
+    comps = near_dup_components(pairs, left_col, right_col, id_out=id_col)
+    base = docs.select(F.col(id_col).cast("long").alias(id_col),
+                       *([quality_col] if quality_col else []))
+    joined = base.join(comps, id_col, "left").withColumn(
+        "component_id", F.coalesce("component_id", F.col(id_col))
+    )
+    if quality_col is None:
+        return joined.select(
+            id_col, "component_id",
+            (F.col(id_col) == F.col("component_id")).alias("keep"),
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .select(id_col, "component_id", (F.col("_rn") == 1).alias("keep"))
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,

@@ -1639,6 +1639,94 @@ def _sql_url_normalize() -> str:
     """
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over an organic similarity graph: the unigram
+    Jaccard > 0.2 pairs among the first 40 docs (same pair set as
+    ngram_jaccard_matrix) resolved into components by the distributed
+    large-star/small-star pass. The oracle recomputes the identical pair set
+    in SQL and takes min-reachable-id per node via a recursive CTE — an
+    INDEPENDENT transitive closure, so label propagation bugs (not just
+    pair bugs) are caught."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 40
+    )
+    a = docs.select(F.col("doc_id").alias("left_id"))
+    b = docs.select(F.col("doc_id").alias("right_id"))
+    cand = a.crossJoin(b).where(F.col("left_id") < F.col("right_id"))
+    pairs = dedup_docs.ngram_jaccard(cand, docs, n=1, threshold=0.0).where(
+        F.col("jaccard") > 0.2
+    )
+    return dedup_docs.near_dup_components(pairs)
+
+
+def _sql_near_dup_components() -> str:
+    return r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 40
+    ), grams_d AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS g FROM docs)
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams_d GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
+      FROM grams_d a JOIN grams_d b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.left_id, i.right_id
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.left_id
+      JOIN sizes sb ON sb.doc_id = i.right_id
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) > 0.2
+    ), edges AS (
+      SELECT left_id AS u, right_id AS v FROM pairs
+      UNION
+      SELECT right_id, left_id FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY u
+    """
+
+
+def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete dedup pipeline end-to-end: MinHash→LSH candidates →
+    exact Jaccard verify (0.999 ⇒ exactly the planted copy pairs) →
+    connected components → min-id survivor per group, singletons kept. The
+    oracle derives the same answer from first principles: normalized-text
+    equality groups with min(doc_id) as the label."""
+    docs = _docs_with_copies(spark, sf_dir)
+    cand = dedup_docs.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=3
+    )
+    verified = dedup_docs.ngram_jaccard(cand, docs, n=3, threshold=0.999)
+    return dedup_docs.near_dup_survivors(
+        docs, verified.select("left_id", "right_id")
+    )
+
+
+def _sql_near_dup_survivors() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id, regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
+      FROM docs
+    ), comp AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY t) AS component_id
+      FROM norm
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component_id AS BIGINT) AS component_id,
+           doc_id = component_id AS keep
+    FROM comp
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1687,6 +1775,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequency_stats": q_token_frequency_stats,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
+    "near_dup_components": q_near_dup_components,
+    "near_dup_survivors": q_near_dup_survivors,
 }
 
 ORACLES: dict[str, str] = {
@@ -1739,4 +1829,6 @@ ORACLES: dict[str, str] = {
     "token_frequency_stats": _sql_token_frequency_stats(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
+    "near_dup_components": _sql_near_dup_components(),
+    "near_dup_survivors": _sql_near_dup_survivors(),
 }

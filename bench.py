@@ -104,6 +104,33 @@ def main() -> None:
         for name, ts in samples.items()
     }
 
+    # ---- LSH skew-guard drop visibility -----------------------------------
+    # minhash_dedup_pairs' max_bucket_size guard skips oversize buckets;
+    # report how much mass the guard excluded on THIS run's corpus (same
+    # fixture + parameters as the headline query) so the drops are in the
+    # record, not only queryable (round-3 VERDICT item 8).
+    from pyspark.sql import functions as _F
+
+    from embulk_input_marketo_spark.operators.dedup_docs import (
+        lsh_bucket_stats,
+    )
+    from embulk_input_marketo_spark.plans.queries import _docs_with_copies
+
+    _ls = lsh_bucket_stats(
+        _docs_with_copies(spark, SF_DIR), num_hashes=32, bands=8, shingle_n=3
+    ).agg(
+        _F.sum("n_buckets").alias("buckets"),
+        _F.max("max_bucket").alias("max_bucket"),
+        _F.sum("n_oversize_buckets").alias("oversize_buckets"),
+        _F.sum("rows_in_oversize").alias("rows_dropped"),
+    ).collect()[0]
+    lsh_guard = {
+        "buckets": int(_ls["buckets"] or 0),
+        "max_bucket": int(_ls["max_bucket"] or 0),
+        "oversize_buckets": int(_ls["oversize_buckets"] or 0),
+        "rows_dropped": int(_ls["rows_dropped"] or 0),
+    }
+
     # ---- hot-key split-operator design point ------------------------------
     # A SINGLE key holding the whole frame: the plain operators' per-key
     # window puts the key's ENTIRE history into one task; the split variants
@@ -197,6 +224,9 @@ def main() -> None:
         "asof_join": {"plain_sec": [], "split_sec": [],
                       "plain_max_task_input_rows": [],
                       "split_max_task_input_rows": []},
+        "pack_documents": {"plain_sec": [], "split_sec": [],
+                           "plain_max_task_input_rows": [],
+                           "split_max_task_input_rows": []},
     }
     for n in scales:
         hot, quotes = _fixture(n)
@@ -212,7 +242,39 @@ def main() -> None:
         asp, c4, aspx = _run(lambda: asof_join_split(
             hot, quotes, on="user_id", left_ts="ts", right_ts="rts",
             payload_cols=["price"], split_every_sec=43200), "price")
-        assert c1 == c2 == n and c3 == c4 == n
+        # sequence packing, strata-less: the plain form's whole-corpus
+        # window is the worst single-task case; the split form's largest
+        # INDIVISIBLE unit is one id bucket. Measured with AQE partition
+        # coalescing off and wide shuffle partitions: byte-packing merges
+        # several independent buckets into one task (benign — separate sort
+        # groups, re-splittable by config), which would otherwise pollute
+        # the indivisible-unit metric this section exists to record.
+        from embulk_input_marketo_spark.operators.sampling import (
+            pack_documents, pack_documents_split,
+        )
+        packd = hot.select(
+            F.col("event_id").alias("doc_id"),
+            (F.col("event_id") % 97 + 1).alias("toks"),
+        )
+        old_coal = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1024")
+        pp, c5, ppx = _run(lambda: pack_documents(
+            packd, budget_tokens=4096, token_col="toks"), "bin_id")
+        ps, c6, psx = _run(lambda: pack_documents_split(
+            packd, budget_tokens=4096, token_col="toks",
+            ids_per_bucket=50_000), "bin_id")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_coal)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        assert c1 == c2 == n and c3 == c4 == n and c5 == c6 == n
+        ops["pack_documents"]["plain_sec"].append(pp)
+        ops["pack_documents"]["split_sec"].append(ps)
+        ops["pack_documents"]["plain_max_task_input_rows"].append(ppx)
+        ops["pack_documents"]["split_max_task_input_rows"].append(psx)
         ops["sessionize"]["plain_sec"].append(sp)
         ops["sessionize"]["split_sec"].append(ss)
         ops["sessionize"]["plain_max_task_input_rows"].append(spx)
@@ -235,7 +297,13 @@ def main() -> None:
             p4, p1 = d["plain_max_task_input_rows"]
             s4, s1 = d["split_max_task_input_rows"]
             assert p1 >= hot_n and p1 >= 3 * p4, (op, d)   # linear in key size
-            assert s1 <= 2 * s4 and s1 < p1 // 4, (op, d)  # flat, bounded
+            if op == "pack_documents":
+                # bound = O(ids_per_bucket): a hash-partition collision may
+                # co-locate a couple of (independent) buckets, never a
+                # corpus-growing amount
+                assert s1 <= 3 * 50_000 and s1 <= p1 // 4, (op, d)
+            else:
+                assert s1 <= 2 * s4 and s1 < p1 // 4, (op, d)  # flat, bounded
     hotkey = {"single_hot_key_events": scales, **ops}
 
     # ---- CDC replay throughput (the authoritative metric) -----------------
@@ -304,6 +372,7 @@ def main() -> None:
                 "hotkey": hotkey,
                 "cpus": CPUS,
                 "cdc_cpus": cdc_cpus,
+                "lsh_bucket_stats": lsh_guard,
                 "query_repeats": repeats,
                 "query_noise_maxmin": query_spread,
             }

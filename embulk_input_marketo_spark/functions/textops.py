@@ -216,7 +216,11 @@ def doc_repetition(
 
 
 def token_frequency_stats(
-    df, text_col: str = "text", id_col: str = "doc_id", rare_max: int = 2
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max: int = 2,
+    heavy_hitters: int = 10_000,
 ):
     """Corpus-statistical token scoring (the unigram-LM quality signal,
     integer-exact): per document, how frequent its tokens are in the WHOLE
@@ -229,10 +233,18 @@ def token_frequency_stats(
     Output: (doc_id, n_tokens, n_rare, min_freq, avg_freq, rare_ratio),
     where a token is 'rare' if its corpus count ≤ ``rare_max``.
 
-    Scale shape: token occurrences shuffle once to build the vocabulary
-    count (map-side combined), join back on the token (co-partitioned with
-    the count's exchange), and reduce per doc — vocabulary-sized state per
-    task, never corpus-sized."""
+    Scale shape: the vocabulary count is one map-side-combined aggregate
+    (its reduce side sees ≤ one partial row per word per map partition —
+    never skewed). The risk was the count JOIN-BACK: partitioned by word,
+    Zipf's law puts a constant fraction of ALL corpus token occurrences
+    ("the", "of", …) into single partitions (round-3 VERDICT). The split:
+    the ``heavy_hitters`` most frequent words' counts BROADCAST — their
+    occurrences (most of the corpus, under Zipf) take a map-side broadcast
+    join and never shuffle by word — and only the long tail, whose
+    per-word mass is bounded by the top-K cutoff, shuffle-joins. The final
+    per-doc reduce is keyed by doc (uniform) and map-side combined.
+    ``heavy_hitters=0`` restores the plain co-partitioned join (useful for
+    A/B and as the no-skew fast path)."""
     words = df.select(
         id_col,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
@@ -240,9 +252,30 @@ def token_frequency_stats(
         ),
     ).where(F.col("_w") != "")
     vocab = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+    if heavy_hitters > 0:
+        # TakeOrderedAndProject (per-partition top-K, driver merge), NOT a
+        # global sort; deterministic tiebreak on the word
+        hot = F.broadcast(
+            vocab.orderBy(F.desc("_n"), F.asc("_w"))
+            .limit(int(heavy_hitters))
+            .withColumnRenamed("_n", "_hn")
+        )
+        tagged = words.join(hot, "_w", "left")
+        hot_occ = tagged.where(F.col("_hn").isNotNull()).select(
+            id_col, F.col("_hn").alias("_n")
+        )
+        tail_vocab = vocab.join(hot.select("_w"), "_w", "left_anti")
+        tail_occ = (
+            tagged.where(F.col("_hn").isNull())
+            .select(id_col, "_w")
+            .join(tail_vocab, "_w")
+            .select(id_col, "_n")
+        )
+        freqs = hot_occ.unionByName(tail_occ)
+    else:
+        freqs = words.join(vocab, "_w").select(id_col, "_n")
     return (
-        words.join(vocab, "_w")
-        .groupBy(id_col)
+        freqs.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.count_if(F.col("_n") <= rare_max).alias("n_rare"),

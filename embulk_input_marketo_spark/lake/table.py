@@ -318,11 +318,19 @@ class LakeTable:
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change data feed: what happened between two snapshots — the CDC
         engine EMITTING CDC for downstream consumers (Delta/Iceberg CDF
         pattern). Returns the current-schema columns plus ``_change`` in
         ('insert', 'update', 'delete'); deletes carry the last-known row.
+
+        ``include_preimage``: updates emit TWO rows — ``update_preimage``
+        (the old row) and ``update_postimage`` (the new row), Delta CDF's
+        kinds — so downstream incremental aggregates can subtract the old
+        contribution and add the new without re-reading the base table. The
+        ``a.``-side columns already sit in the diff join, so the pre-image
+        costs one extra projection, no extra scan.
 
         Scale shape: the candidate set comes from a pure METADATA diff —
         only buckets whose file-list pointer changed between the snapshots
@@ -348,6 +356,7 @@ class LakeTable:
             changed = {
                 b for b in set(pa) | set(pb) if pa.get(b) != pb.get(b)
             }
+            changed -= self._compaction_only_buckets(ma, mb, changed)
         else:  # a legacy side: no pointer diff possible, scan all buckets
             changed = set(ma.files) | set(mb.files)
         cur = mb.current_schema()
@@ -388,17 +397,70 @@ class LakeTable:
                 F.lit("update"),
             )
         )
+        classified = j.withColumn("_change", change).where(
+            F.col("_change").isNotNull()
+        )
+        if include_preimage:
+            a_struct = F.struct(*[F.col(f"a.{c}").alias(c) for c in data_cols])
+            b_struct = F.struct(*[F.col(f"b.{c}").alias(c) for c in data_cols])
+
+            def kind(k, row):
+                return F.struct(F.lit(k).alias("_k"), row.alias("_r"))
+
+            rows = (
+                F.when(F.col("_change") == "insert",
+                       F.array(kind("insert", b_struct)))
+                .when(F.col("_change") == "delete",
+                      F.array(kind("delete", a_struct)))
+                .otherwise(F.array(kind("update_preimage", a_struct),
+                                   kind("update_postimage", b_struct)))
+            )
+            return classified.select(F.explode(rows).alias("_e")).select(
+                *[F.col(f"_e._r.{c}").alias(c) for c in data_cols],
+                F.col("_e._k").alias("_change"),
+            )
         picked = [
             F.when(F.col("_change") == "delete", F.col(f"a.{c}"))
             .otherwise(F.col(f"b.{c}"))
             .alias(c)
             for c in data_cols
         ]
-        return (
-            j.withColumn("_change", change)
-            .where(F.col("_change").isNotNull())
-            .select(*picked, "_change")
-        )
+        return classified.select(*picked, "_change")
+
+    def _compaction_only_buckets(
+        self, ma: Manifest, mb: Manifest, changed: set[str]
+    ) -> set[str]:
+        """Buckets whose pointer changed between the snapshots ONLY through
+        compaction commits (``summary.operation == 'compact'``): physically
+        rewritten but logically identical, so the CDF can skip reading them
+        outright instead of diffing to an empty result. Attribution walks
+        the commit chain's pointer history; any gap (expired intermediate
+        manifest, legacy format) conservatively keeps the bucket."""
+        if not changed:
+            return set()
+        chain: list[Manifest] = []
+        for v in range(ma.version + 1, mb.version + 1):
+            try:
+                chain.append(self.manifest(v))
+            except FileNotFoundError:
+                return set()  # gap: cannot attribute, keep everything
+        out = set(changed)
+        prev = ma
+        for m in chain:
+            if not (
+                isinstance(m.files, FileSet) and not m.files.pending
+                and isinstance(prev.files, FileSet) and not prev.files.pending
+            ):
+                return set()
+            if m.summary.get("operation") != "compact":
+                out -= {
+                    b for b in out
+                    if m.files.ptrs.get(b) != prev.files.ptrs.get(b)
+                }
+                if not out:
+                    return out
+            prev = m
+        return out
 
     # ----------------------------------------------------------- maintenance
     def expire_snapshots(

@@ -58,8 +58,10 @@ def pack_documents(
 
     Scale shape: one shuffle + sort per stratum (the sessionize-style
     window); a single giant stratum serializes into one task at extreme
-    scale — the sessionize_split bucket-merge technique applies unchanged
-    if packing order may be coarsened to time/id buckets."""
+    scale — and ``strata_col=None`` serializes the WHOLE corpus into one
+    task. Use :func:`pack_documents_split` (bit-identical output, bounded
+    task input) whenever a stratum may be large; this plain form is the
+    readable spec and the small-input fast path."""
     from pyspark.sql.window import Window
 
     from embulk_input_marketo_spark.functions.textops import token_count
@@ -78,6 +80,85 @@ def pack_documents(
     return base.withColumn(
         "bin_id",
         F.floor((cum - F.col("n_tokens")) / F.lit(int(budget_tokens))),
+    )
+
+
+def pack_documents_split(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    token_col: str | None = None,
+    ids_per_bucket: int = 100_000,
+) -> DataFrame:
+    """Giant-stratum-safe sequence packing: identical ``bin_id`` assignment
+    to :func:`pack_documents`, but no task ever holds a whole stratum (or,
+    with ``strata_col=None``, the whole corpus).
+
+    The decomposition is exact because ``bin_id`` is a pure function of the
+    global exclusive prefix sum of token counts in ``id_col`` order, and
+    prefix sums split perfectly — unlike sessionization there is no
+    boundary-merge case at all (the sessionize_split technique,
+    ``temporal.py``, minus its adjacency logic):
+
+    1. bucket by ``floor(id / ids_per_bucket)`` — order-PRESERVING ranges of
+       the numeric id (a hash bucket would scramble packing order);
+    2. local exclusive prefix sums within each (stratum, bucket) window —
+       hot strata spread across ~|ids|/ids_per_bucket tasks;
+    3. per-bucket token totals → one per-stratum window over O(buckets)
+       rows turns them into each bucket's carry-in offset;
+    4. the offsets join back on (stratum, bucket) — a broadcast-sized side —
+       and ``bin_id = floor((carry + local_before) / budget)``.
+    """
+    from pyspark.sql.window import Window
+
+    from embulk_input_marketo_spark.functions.textops import token_count
+
+    n_tok = (
+        F.col(token_col) if token_col else token_count(text_col)
+    ).alias("n_tokens")
+    strata = [strata_col] if strata_col else []
+    base = df.select(id_col, *strata, n_tok).withColumn(
+        "_ib", F.floor(F.col(id_col) / F.lit(int(ids_per_bucket)))
+    )
+    wloc = Window.partitionBy(*(strata + ["_ib"])).orderBy(
+        F.col(id_col).asc()
+    )
+    local = base.withColumn(
+        "_lb",
+        F.sum("n_tokens").over(
+            wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_tokens"),
+    )
+    totals = base.groupBy(*(strata + ["_ib"])).agg(
+        F.sum("n_tokens").alias("_tot")
+    )
+    wb = Window.partitionBy(
+        *(strata if strata else [F.lit(1)])
+    ).orderBy("_ib")
+    carry = totals.withColumn(
+        "_carry",
+        F.coalesce(
+            F.sum("_tot").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        local.join(carry.select(*strata, "_ib", "_carry"),
+                   on=strata + ["_ib"])
+        .select(
+            id_col,
+            *strata,
+            "n_tokens",
+            F.floor(
+                (F.col("_carry") + F.col("_lb"))
+                / F.lit(int(budget_tokens))
+            ).alias("bin_id"),
+        )
     )
 
 

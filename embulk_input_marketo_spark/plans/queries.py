@@ -202,6 +202,99 @@ def _sql_cdc_changes_feed() -> str:
     """
 
 
+def q_cdc_changes_preimage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF with Delta-style update PRE-images: same snapshot diff as
+    cdc_changes_feed, but updates emit (update_preimage, update_postimage)
+    row pairs so incremental consumers can retract the old contribution.
+    Oracle: the two-prefix LWW diff emitting both sides of each update."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_cdfpre_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    replay(spark, log.where(F.col("lsn") <= 5000), table, n_slices=1)
+    v1 = table.current_version()
+    replay(spark, log, table, n_slices=1)
+    return table.changes(spark, v1, include_preimage=True).select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").alias("ts"),
+        "value",
+        "props",
+        F.col("_change").alias("change"),
+    )
+
+
+def _sql_cdc_changes_preimage() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS user_id, ts, value, props
+      FROM events
+    ), w1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log WHERE lsn <= 5000
+    ), w2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log
+    ), s1 AS (SELECT * FROM w1 WHERE rn = 1),
+    s2 AS (SELECT * FROM w2 WHERE rn = 1),
+    j AS (
+      SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+             s1.op AS op1, s2.op AS op2, s1.lsn AS lsn1, s2.lsn AS lsn2,
+             s1.ts AS ts1, s1.value AS v1, s1.props AS p1,
+             s2.ts AS ts2, s2.value AS v2, s2.props AS p2
+      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    ), cls AS (
+      SELECT *,
+             CASE WHEN (op2 IS NOT NULL AND op2 <> 'D')
+                       AND NOT (op1 IS NOT NULL AND op1 <> 'D')
+                  THEN 'insert'
+                  WHEN (op1 IS NOT NULL AND op1 <> 'D')
+                       AND NOT (op2 IS NOT NULL AND op2 <> 'D')
+                  THEN 'delete'
+                  WHEN (op1 IS NOT NULL AND op1 <> 'D')
+                       AND (op2 IS NOT NULL AND op2 <> 'D')
+                       AND lsn1 <> lsn2
+                  THEN 'update' END AS change
+      FROM j
+    )
+    SELECT user_id, ts2 AS ts, v2 AS value, p2 AS props,
+           'insert' AS change
+    FROM cls WHERE change = 'insert'
+    UNION ALL
+    SELECT user_id, ts1, v1, p1, 'delete' FROM cls WHERE change = 'delete'
+    UNION ALL
+    SELECT user_id, ts1, v1, p1, 'update_preimage'
+    FROM cls WHERE change = 'update'
+    UNION ALL
+    SELECT user_id, ts2, v2, p2, 'update_postimage'
+    FROM cls WHERE change = 'update'
+    """
+
+
 def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LWW reducer alone (salted two-phase) — latest event per user."""
     ev = _t(spark, sf_dir, "events")
@@ -794,6 +887,30 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(
         emb, queries, dim=64, k=5, n_planes=6, n_tables=8, probe_bits=2
     )
+
+
+def q_ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the MATERIALIZED partitioned index (write_ann_index →
+    ann_topk_indexed): same parameters as ann_topk, so the same exact
+    brute-force oracle applies — and the scan is partition-pruned to the
+    probe set instead of re-exploding the table per query."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(
+        prefix="ann_idx_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    idx = f"{path}/index"
+    similarity.write_ann_index(
+        emb, idx, dim=64, n_planes=6, n_tables=8
+    )
+    return similarity.ann_topk_indexed(spark, idx, queries, k=5, probe_bits=2)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1428,6 +1545,22 @@ def _sql_pack_documents() -> str:
     """
 
 
+def q_pack_documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-stratum-safe packing variant: same bins as pack_documents
+    (and the same independent oracle), but computed via order-preserving id
+    buckets + carry-in offsets so no task holds a whole stratum.
+    ids_per_bucket is set low here to force MANY buckets at fixture scale —
+    the carry-merge path is fully exercised, not vacuously single-bucket."""
+    from embulk_input_marketo_spark.operators.sampling import (
+        pack_documents_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_documents_split(
+        d, budget_tokens=2048, strata_col="lang", ids_per_bucket=100
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage detection: docs < 10 are the 'benchmark'; every
     17th corpus doc has a benchmark passage planted into it (the canary), so
@@ -1756,6 +1889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "invalid_record_filter": q_invalid_record_filter,
     "ann_topk": q_ann_topk,
+    "ann_topk_indexed": q_ann_topk_indexed,
     "ivf_topk": q_ivf_topk,
     "video_frame_sample": q_video_frame_sample,
     "image_resize": q_image_resize,
@@ -1771,7 +1905,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination_check,
     "pack_documents": q_pack_documents,
+    "pack_documents_split": q_pack_documents_split,
     "cdc_changes_feed": q_cdc_changes_feed,
+    "cdc_changes_preimage": q_cdc_changes_preimage,
     "token_frequency_stats": q_token_frequency_stats,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
@@ -1806,6 +1942,8 @@ ORACLES: dict[str, str] = {
     # ANN's oracle is the EXACT brute-force top-k: the multi-table multi-probe
     # candidate pool must cover the true top-k (recall 1.0 on the fixture)
     "ann_topk": _sql_embedding_topk(),
+    # the materialized-index path answers the same question; same exact oracle
+    "ann_topk_indexed": _sql_embedding_topk(),
     # IVF's oracle is the exact brute-force top-k over the planted-cluster
     # fixture — recall 1.0 while probing only 2 of 8 cells
     "ivf_topk": _sql_ivf_topk(),
@@ -1825,7 +1963,10 @@ ORACLES: dict[str, str] = {
     "stratified_sample": _sql_stratified_sample(),
     "contamination_check": _sql_contamination_check(),
     "pack_documents": _sql_pack_documents(),
+    # the split variant answers the same question; same independent oracle
+    "pack_documents_split": _sql_pack_documents(),
     "cdc_changes_feed": _sql_cdc_changes_feed(),
+    "cdc_changes_preimage": _sql_cdc_changes_preimage(),
     "token_frequency_stats": _sql_token_frequency_stats(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),

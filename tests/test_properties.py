@@ -172,3 +172,143 @@ def test_accept_stray_quotes_matches_python_reference(
         key=nullsafe,
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# stateful lake invariant: random interleavings of merge / evolve_schema /
+# compact / expire against a driver-side reference model — the manifest
+# chain (delta pointers, schema history, rename tombstones, expiry) must
+# never lose or invent state, whatever the operation order.
+# ---------------------------------------------------------------------------
+
+_lake_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.lists(
+            st.tuples(
+                st.integers(0, 5),                 # key
+                st.integers(0, 200),               # ts offset
+                st.sampled_from(["U", "U", "D"]),  # op (updates dominate)
+                st.integers(-30, 30),              # value
+            ),
+            min_size=1, max_size=10,
+        )),
+        st.tuples(st.just("add"), st.none()),
+        st.tuples(st.just("drop"), st.none()),
+        st.tuples(st.just("compact"), st.integers(0, 3)),
+        st.tuples(st.just("expire"), st.none()),
+    ),
+    min_size=2, max_size=8,
+)
+
+
+@given(ops=_lake_ops)
+@settings(**SETTINGS)
+def test_lake_random_op_interleavings_match_model(
+    spark, tmp_path_factory, ops
+):
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.lake.merge import (
+        compact_buckets, merge_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(dir=str(tmp_path_factory.getbasetemp()))
+    table = LakeTable.create(
+        os.path.join(work, "t"), schema, key_col="url",
+        lww_major="warc_ts", n_buckets=4,
+    )
+
+    # reference model: per key the LWW winner, remembering whether 'extra'
+    # was in the schema when the winner was written and how many drops of
+    # 'extra' happened after (a later drop tombstones the value for good,
+    # and a re-add reads NULL from pre-drop files)
+    best: dict = {}          # key -> (ts, lsn, op, value, extra, gen)
+    has_extra = False
+    extra_generation = 0      # bumped on every re-add after a drop
+    lsn = 0
+
+    for kind, arg in ops:
+        if kind == "merge":
+            lsn_base = lsn
+            rows = []
+            for j, (k, ts, op, v) in enumerate(arg):
+                ts_dt = EPOCH + datetime.timedelta(seconds=ts)
+                ev_lsn = lsn_base + j
+                row = {
+                    "url": str(k), "warc_ts": ts_dt,
+                    "value": float(v), "op": op, "lsn": ev_lsn,
+                }
+                if has_extra:
+                    row["extra"] = float(v) * 2
+                rows.append(row)
+                key = str(k)
+                cand = (ts, ev_lsn)
+                if key not in best or cand > best[key][:2]:
+                    best[key] = (
+                        ts, ev_lsn, op, float(v),
+                        float(v) * 2 if has_extra else None,
+                        extra_generation if has_extra else -1,
+                    )
+            lsn += len(arg)
+            cols = "url string, warc_ts timestamp, value double, " + (
+                "extra double, " if has_extra else ""
+            ) + "op string, lsn long"
+            batch = spark.createDataFrame(
+                [tuple(r[c] for c in
+                       [f.split()[0] for f in cols.split(", ")])
+                 for r in rows],
+                cols,
+            )
+            merge_batch(
+                spark, table, batch, batch_id=f"b{lsn}", lsn_col="lsn",
+                checkpoint={"hwm_lsn": lsn - 1},
+            )
+        elif kind == "add":
+            if not has_extra:
+                table.evolve_schema(
+                    [{"change": "add", "name": "extra", "type": "double"}]
+                )
+                has_extra = True
+                extra_generation += 1
+        elif kind == "drop":
+            if has_extra:
+                table.evolve_schema([{"change": "drop", "name": "extra"}])
+                has_extra = False
+        elif kind == "compact":
+            buckets = sorted(int(b) for b in set(table.manifest().files))
+            if buckets:
+                compact_buckets(spark, table, buckets[arg % len(buckets):])
+        elif kind == "expire":
+            table.expire_snapshots(keep_last=2, spark=spark)
+
+    # final state must equal the model under the current schema
+    cur_cols = [f.name for f in table.manifest().current_schema().fields]
+    got = sorted(
+        tuple(r[c] for c in cur_cols)
+        for r in table.read(spark).collect()
+    )
+    expected = []
+    for key, (ts, _l, op, v, extra, gen) in best.items():
+        if op == "D":
+            continue
+        row = {
+            "url": key,
+            "warc_ts": EPOCH + datetime.timedelta(seconds=ts),
+            "value": v,
+        }
+        if "extra" in cur_cols:
+            # visible only if written under the CURRENT add-generation of
+            # the column (any intervening drop tombstones old values)
+            row["extra"] = extra if gen == extra_generation else None
+        expected.append(tuple(row[c] for c in cur_cols))
+    assert got == sorted(expected)
+
+    # every retained snapshot stays readable (manifest chain integrity)
+    for m in table.history():
+        table.read(spark, version=m.version).collect()

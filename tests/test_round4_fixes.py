@@ -345,3 +345,305 @@ class TestNearDupComponents:
             1: (1, False), 2: (1, True), 3: (1, False),  # tie 2 vs 3 → min id
             4: (4, True), 9: (9, True),
         }
+
+
+class TestPackDocumentsSplit:
+    def test_split_identical_to_plain(self, spark, sf_dir):
+        """pack_documents_split must assign bit-identical bins to the plain
+        single-window form — per stratum AND in the strata-less (whole
+        corpus through one window) case — with ids_per_bucket small enough
+        that many carry merges happen."""
+        from embulk_input_marketo_spark.operators.sampling import (
+            pack_documents, pack_documents_split,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for strata in ["lang", None]:
+            plain = {
+                tuple(r) for r in pack_documents(
+                    docs, budget_tokens=512, strata_col=strata
+                ).collect()
+            }
+            split = {
+                tuple(r) for r in pack_documents_split(
+                    docs, budget_tokens=512, strata_col=strata,
+                    ids_per_bucket=37,
+                ).collect()
+            }
+            assert split == plain, f"strata={strata}"
+
+    def test_split_sparse_nonuniform_ids(self, spark):
+        """Exactness does not depend on dense ids: sparse, clustered ids with
+        oversized documents (longer than the budget) still bin identically."""
+        from embulk_input_marketo_spark.operators.sampling import (
+            pack_documents, pack_documents_split,
+        )
+
+        rows = [
+            (i * 13 + (i % 5) * 1000, "s" + str(i % 2), (i % 7 + 1) * 300)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, toks long"
+        )
+        plain = {
+            tuple(r) for r in pack_documents(
+                df, budget_tokens=500, strata_col="lang", token_col="toks"
+            ).collect()
+        }
+        split = {
+            tuple(r) for r in pack_documents_split(
+                df, budget_tokens=500, strata_col="lang", token_col="toks",
+                ids_per_bucket=50,
+            ).collect()
+        }
+        assert split == plain
+
+
+class TestTokenFrequencyHeavyHitters:
+    def test_split_matches_plain_on_zipf_fixture(self, spark):
+        """The heavy-hitter broadcast split must return identical stats to
+        the plain co-partitioned join on a skewed (one dominating token)
+        corpus — including when the cutoff lands mid-vocabulary."""
+        from embulk_input_marketo_spark.functions.textops import (
+            token_frequency_stats,
+        )
+
+        docs = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("the the the the of of "),
+                F.col("id").cast("string"),
+                F.lit(" tail"),
+                (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        plain = {
+            tuple(r)
+            for r in token_frequency_stats(docs, heavy_hitters=0).collect()
+        }
+        for k in (1, 2, 5, 10_000):
+            split = {
+                tuple(r)
+                for r in token_frequency_stats(
+                    docs, heavy_hitters=k
+                ).collect()
+            }
+            assert split == plain, f"heavy_hitters={k}"
+
+    def test_hot_tokens_take_broadcast_join(self, spark):
+        """Plan audit: with the split on, the occurrence stream's hot branch
+        joins the top-K counts via BroadcastHashJoin (no shuffle keyed by
+        word for those rows) and the top-K selection itself plans as
+        TakeOrderedAndProject, not a global sort."""
+        from embulk_input_marketo_spark.functions.textops import (
+            token_frequency_stats,
+        )
+
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.lit("a b c d").alias("text"),
+        )
+        plan = token_frequency_stats(docs)._jdf.queryExecution().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestAnnIndexLayout:
+    def test_indexed_matches_inline_and_prunes(self, spark, sf_dir, tmp_path):
+        """write_ann_index → ann_topk_indexed returns exactly what the
+        inline ann_topk computes with the same parameters, AND the index
+        scan physically reads only the probed (_tbl,_sig) partitions —
+        checked from the files the executed scan actually touched."""
+        from embulk_input_marketo_spark.functions.similarity import (
+            ann_topk, ann_topk_indexed, read_ann_index, write_ann_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()["embedding"])
+        queries = emb.where(F.col("vec_id") % 37 == 0).limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        params = dict(dim=dim, n_planes=4, n_tables=2, seed=42)
+        idx_path = str(tmp_path / "ann_idx")
+        write_ann_index(emb, idx_path, **params)
+
+        inline = {
+            tuple(r)
+            for r in ann_topk(
+                emb, queries, k=5, probe_bits=1, **params
+            ).collect()
+        }
+        indexed = {
+            tuple(r)
+            for r in ann_topk_indexed(
+                spark, idx_path, queries, k=5, probe_bits=1
+            ).collect()
+        }
+        assert indexed == inline and len(indexed) > 0
+
+        # pruning: executed scan touches only probed partition dirs
+        index, meta = read_ann_index(spark, idx_path)
+        all_parts = {
+            (r["_tbl"], r["_sig"])
+            for r in index.select("_tbl", "_sig").distinct().collect()
+        }
+        probed = ann_topk_indexed(
+            spark, idx_path, queries.limit(1), k=5, probe_bits=0
+        )
+        # re-derive which files the pruned plan reads: input_file_name on
+        # the same pruned scan the query runs
+        one_q = queries.limit(1)
+        from embulk_input_marketo_spark.functions.similarity import (
+            _probe_masks, lsh_signature,
+        )
+
+        sigrow = one_q.select(
+            *[
+                lsh_signature(
+                    F.col("embedding"), dim, 4, 42 + 7919 * t
+                ).alias(f"s{t}")
+                for t in range(2)
+            ]
+        ).first()
+        probe_keys = {(t, sigrow[f"s{t}"]) for t in range(2)}
+        pred = F.lit(False)
+        for t, s in sorted(probe_keys):
+            pred = pred | ((F.col("_tbl") == t) & (F.col("_sig") == s))
+        touched = {
+            r["f"]
+            for r in index.where(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert len(probed.collect()) > 0
+        assert all(
+            any(f"_tbl={t}/_sig={s}" in f for (t, s) in probe_keys)
+            for f in touched
+        ), touched
+        assert len(probe_keys) < len(all_parts)  # pruning is non-vacuous
+
+
+class TestCdfPreimages:
+    def test_update_preimage_pair(self, spark, tmp_path):
+        """include_preimage=True: an update emits its OLD row as
+        update_preimage and its NEW row as update_postimage; inserts and
+        deletes are unchanged single rows."""
+        table = LakeTable.create(
+            str(tmp_path / "t"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=4,
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [("a", 1, 1.0, "U", 1), ("b", 1, 2.0, "U", 2)]),
+            batch_id="b1", lsn_col="lsn", checkpoint={"hwm_lsn": 2},
+        )
+        v1 = table.current_version()
+        merge_batch(
+            spark, table,
+            _batch(spark, [("a", 10, 9.0, "U", 10), ("b", 11, 0, "D", 11),
+                           ("c", 12, 3.0, "U", 12)]),
+            batch_id="b2", lsn_col="lsn", checkpoint={"hwm_lsn": 12},
+        )
+        rows = {
+            (r["url"], r["_change"]): r["value"]
+            for r in table.changes(
+                spark, v1, include_preimage=True
+            ).collect()
+        }
+        assert rows == {
+            ("a", "update_preimage"): 1.0,
+            ("a", "update_postimage"): 9.0,
+            ("b", "delete"): 2.0,
+            ("c", "insert"): 3.0,
+        }
+        # default shape unchanged: one row per key, kind 'update'
+        plain = {
+            (r["url"], r["_change"]): r["value"]
+            for r in table.changes(spark, v1).collect()
+        }
+        assert plain == {
+            ("a", "update"): 9.0, ("b", "delete"): 2.0, ("c", "insert"): 3.0,
+        }
+
+
+class TestCdfCompactionSkip:
+    def test_changes_skip_compaction_only_buckets(self, spark, tmp_path):
+        """A compaction-only commit rewrites buckets without changing their
+        logical state: the CDF across it must emit nothing AND read nothing
+        (no parquet scan in the plan), while a mixed chain still reports the
+        real changes."""
+        from embulk_input_marketo_spark.lake.merge import compact_buckets
+
+        table = LakeTable.create(
+            str(tmp_path / "t"), SCHEMA, key_col="url", lww_major="warc_ts",
+            n_buckets=4,
+        )
+        # two delta generations so compaction has something to fold
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"u{i}", i, i, "U", i) for i in range(12)]),
+            batch_id="b1", lsn_col="lsn", checkpoint={"hwm_lsn": 11},
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"u{i}", 20 + i, 100 + i, "U", 20 + i)
+                           for i in range(12)]),
+            batch_id="b2", lsn_col="lsn", checkpoint={"hwm_lsn": 31},
+        )
+        v_pre = table.current_version()
+        touched = sorted(int(b) for b in set(table.manifest().files))
+        compact_buckets(spark, table, touched)
+        v_post = table.current_version()
+
+        feed = table.changes(spark, v_pre, v_post)
+        assert feed.count() == 0
+        plan = feed._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan and "FileScan" not in plan, (
+            "compaction-only CDF still planned a data read"
+        )
+
+        # mixed chain (compact + merge): the real change is still reported
+        merge_batch(
+            spark, table,
+            _batch(spark, [("u0", 99, 999.0, "U", 99)]),
+            batch_id="b3", lsn_col="lsn", checkpoint={"hwm_lsn": 99},
+        )
+        rows = {
+            (r["url"], r["_change"]): r["value"]
+            for r in table.changes(spark, v_pre).collect()
+        }
+        assert rows == {("u0", "update"): 999.0}
+
+
+class TestSimhashNumpyBackend:
+    def test_simhash_numpy_equals_expressions(self, spark, sf_dir):
+        """The numpy backend must produce BIT-IDENTICAL 64-bit signatures to
+        the interpreted expression form on real corpus text (the same pin
+        the minhash backends carry)."""
+        from embulk_input_marketo_spark.operators.dedup_docs import simhash
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ).limit(300)
+        ex = {r["doc_id"]: r["simhash"]
+              for r in simhash(docs, accel="expr").collect()}
+        np_ = {r["doc_id"]: r["simhash"]
+               for r in simhash(docs, accel="np").collect()}
+        assert ex == np_ and len(ex) == 300
+
+    def test_simhash_numpy_edge_rows(self, spark):
+        """Empty and whitespace-only docs: both backends agree (the empty
+        shingle set folds to an all-zero signature on both paths)."""
+        from embulk_input_marketo_spark.operators.dedup_docs import simhash
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one"), (4, "two words here")],
+            "doc_id long, text string",
+        )
+        ex = {r["doc_id"]: r["simhash"]
+              for r in simhash(docs, accel="expr").collect()}
+        np_ = {r["doc_id"]: r["simhash"]
+               for r in simhash(docs, accel="np").collect()}
+        assert ex == np_

@@ -57,6 +57,10 @@ HEADLINE = [
     "doc_repetition",
     "stratified_sample",
     "contamination_check",
+    "near_dup_survivors",
+    "token_frequency_stats",
+    "pii_redact",
+    "bpe_token_count",
 ]
 
 

@@ -297,6 +297,59 @@ def token_frequency_stats(
     )
 
 
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count, JVM-side: the number of pre-tokenizer units —
+    letter runs, digit runs, and individual punctuation marks — the
+    GPT-2-family pre-tokenization shape without the merges table. A real
+    BPE count is ≥ this (merges only split pre-tokens further for unknown
+    words; digit runs fan out per tokenizer), so this is the cheap
+    screening estimate for token budgets; exact counts come from running
+    the actual tokenizer as an Arrow UDF upstream. Pattern kept to the
+    regex intersection of Java (Spark) and RE2 (DuckDB oracle) dialects."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(
+        c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    ).cast("long")
+
+
+# PII patterns, ordered: emails first (their local parts contain digits and
+# dots that the looser patterns would otherwise chew on), then IPs (dots
+# disambiguate from phones), then phone-like digit runs.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (emails, IPv4s, phone-like digit runs) —
+    JVM regexp_count, one pass per pattern. The counting and the redaction
+    share the ordered pattern table so counts always describe what
+    :func:`pii_redact` would remove."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    cur = c
+    for name, pat, repl in _PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        # count on the progressively-redacted text: an IP inside an email
+        # already replaced must not double-count
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Deterministic PII redaction for training corpora: emails → <EMAIL>,
+    IPv4s → <IP>, phone-like runs → <PHONE>, applied in that order (chained
+    regexp_replace, whole-stage codegen — no UDF). The screening pass of a
+    compliance pipeline; entity-model redaction slots in upstream as an
+    Arrow UDF where the regex tier is not enough."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     'und' (undetermined) when all zero. Pure column expressions."""

@@ -607,6 +607,108 @@ def _sql_token_count() -> str:
     """
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-tokenizer counts side by side — the two
+    token-budget estimators of corpus assembly (whitespace undercounts
+    punctuation-heavy text; the pre-tokenizer count is the lower bound a
+    real BPE refines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("ws_tokens"),
+        textops.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def _sql_bpe_token_count() -> str:
+    return r"""
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screening over web text: deterministic emails/IPs/phones are
+    planted from doc_id (every doc an email, every 2nd an IPv4, every 3rd a
+    phone), then counted and redacted with the shared ordered pattern
+    table. The oracle replays the identical regex chain in RE2 — the
+    patterns are kept to the Java∩RE2 dialect intersection on purpose."""
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example"), (d % 7).cast("string"), F.lit(".com"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 250).cast("string"),
+                     F.lit("."), (d % 100).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" call +1 555 010"),
+                     (d % 90 + 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", pii_text.alias("_t")
+    )
+    counts = textops.pii_counts(F.col("_t"))
+    return docs.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ip"].alias("n_ip"),
+        counts["n_phone"].alias("n_phone"),
+        textops.pii_redact(F.col("_t")).alias("redacted"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    return r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example' || (doc_id % 7)
+                  || '.com'
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' from 10.0.' || (doc_id % 250) || '.'
+                               || (doc_id % 100)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' call +1 555 010' || (doc_id % 90 + 10)
+                          ELSE '' END AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+             regexp_replace(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t
+      FROM pii
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(
+               t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS BIGINT) AS n_ip,
+             regexp_replace(
+               t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g') AS t
+      FROM s1
+    )
+    SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{6,}[0-9]'))
+             AS BIGINT) AS n_phone,
+           regexp_replace(t, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')
+             AS redacted
+    FROM s2
+    """
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", textops.quality_score("text").alias("quality"))
@@ -1877,6 +1979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_rollup": q_pricing_rollup,
     "tumbling_window": q_tumbling_window,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "pii_redact": q_pii_redact,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "extract_text": q_extract_text,
@@ -1928,6 +2032,8 @@ ORACLES: dict[str, str] = {
     "pricing_rollup": _sql_pricing_rollup(),
     "tumbling_window": _sql_tumbling_window(),
     "token_count": _sql_token_count(),
+    "bpe_token_count": _sql_bpe_token_count(),
+    "pii_redact": _sql_pii_redact(),
     "quality_score": _sql_quality_score(),
     "lang_id": _sql_lang_id(),
     "extract_text": _sql_extract_text(),

@@ -568,6 +568,60 @@ class TestCdfPreimages:
         }
 
 
+class TestPiiAndBpe:
+    def test_pii_redact_order_and_counts(self, spark):
+        """Emails are redacted before IPs/phones, so their digit-and-dot
+        innards never double-count; counts describe exactly what redaction
+        removed."""
+        from embulk_input_marketo_spark.functions.textops import (
+            pii_counts, pii_redact,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "mail bob.1@h-q.example.com ip 10.0.0.1 tel +1 555 0102"),
+             (2, "nothing here"),
+             (3, "10.0.0.1@ex.com twice 10.0.0.1")],
+            "id long, text string",
+        )
+        c = pii_counts("text")
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id", c["n_email"].alias("e"), c["n_ip"].alias("i"),
+                c["n_phone"].alias("p"),
+                pii_redact("text").alias("red"),
+            ).collect()
+        }
+        assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 1, 1)
+        assert out[1]["red"] == "mail <EMAIL> ip <IP> tel <PHONE>"
+        assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 0, 0)
+        # the ip-looking local part is consumed by the email pass; only the
+        # standalone ip remains for the ip pass
+        assert (out[3]["e"], out[3]["i"]) == (1, 1)
+        assert out[3]["red"] == "<EMAIL> twice <IP>"
+
+    def test_bpe_token_count_units(self, spark):
+        from embulk_input_marketo_spark.functions.textops import (
+            bpe_token_count, token_count,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Hello, world! v2.0 here"), (2, ""), (3, "   ")],
+            "id long, text string",
+        )
+        rows = {
+            r["id"]: (r["ws"], r["bpe"])
+            for r in df.select(
+                "id",
+                token_count("text").alias("ws"),
+                bpe_token_count("text").alias("bpe"),
+            ).collect()
+        }
+        # Hello , world ! v 2 . 0 here -> 9 pre-tokens vs 4 ws tokens
+        assert rows[1] == (4, 9)
+        assert rows[2] == (0, 0) and rows[3] == (0, 0)
+
+
 class TestCdfCompactionSkip:
     def test_changes_skip_compaction_only_buckets(self, spark, tmp_path):
         """A compaction-only commit rewrites buckets without changing their

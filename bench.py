@@ -265,7 +265,11 @@ def main() -> None:
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", "1024")
+        # 128, not more: wide-enough that bucket co-location is hash
+        # collisions only (20 buckets / 128 partitions), narrow enough that
+        # per-task scheduling overhead doesn't dominate the wall time (a
+        # 1024-partition run spent ~45 of 54 s scheduling empty tasks)
+        spark.conf.set("spark.sql.shuffle.partitions", "128")
         pp, c5, ppx = _run(lambda: pack_documents(
             packd, budget_tokens=4096, token_col="toks"), "bin_id")
         ps, c6, psx = _run(lambda: pack_documents_split(

@@ -444,6 +444,8 @@ class LakeTable:
                 chain.append(self.manifest(v))
             except FileNotFoundError:
                 return set()  # gap: cannot attribute, keep everything
+        if not chain:
+            return set()  # nothing between the snapshots to attribute with
         out = set(changed)
         prev = ma
         for m in chain:

@@ -61,6 +61,12 @@ HEADLINE = [
     "token_frequency_stats",
     "pii_redact",
     "bpe_token_count",
+    "gopher_quality",
+    "quality_classifier",
+    "corpus_mix",
+    "dedup_apply",
+    "cdf_incremental_agg",
+    "zorder_layout",
 ]
 
 

@@ -44,6 +44,89 @@ N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 N_BIG = 4 * N_SMALL
 SEED = 42
 
+_CALIB_PATH = os.path.join(REPO, "BENCH", "probe_calibration.json")
+
+
+def _speed_probe() -> float:
+    """Single-core effective-CPU-speed probe: a fixed integer-arithmetic
+    loop whose wall time tracks the host condition the /proc counters
+    cannot see (this hypervisor reports steal≈0 while identical workloads
+    run 2-4x slower in bad windows — BENCH/runs 065615 vs 144812 measured
+    ~100k vs ~24k ev/s on the same pinned local[2] at ~full busy). The
+    probe turns 'window quality' into a number recorded per repeat."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(3_000_000):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+_PROBE_SRC = (
+    "import time;t0=time.perf_counter();x=0\n"
+    "for i in range(3_000_000): x=(x*1103515245+i)&0xFFFFFFFF\n"
+    "print(time.perf_counter()-t0)"
+)
+
+
+def _speed_probe_multi(n: int = 8) -> float:
+    """The same loop on n CONCURRENT processes, worst per-process time.
+    This is the probe that actually sees this hypervisor's failure mode:
+    single-core speed stays normal while AGGREGATE demand is throttled
+    (measured 20260817: single-core probe 0.39s — nominal — while pinned
+    local[2] replay ran 3.6x slower than the same morning's quiet window).
+    quiet window ⇒ multi ≈ single; throttled ⇒ multi ≫ single.
+    Plain subprocesses (not multiprocessing) so the probe works however
+    this module was imported."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _PROBE_SRC], stdout=subprocess.PIPE
+        )
+        for _ in range(n)
+    ]
+    times = []
+    for p in procs:
+        out, _ = p.communicate()
+        times.append(float(out.strip()))
+    return max(times)
+
+
+def _probe_calibrated() -> tuple[float, float]:
+    """(current probe time, best-ever probe time). Persists the minimum —
+    the host's quiet-window speed — so later runs can tell 'slow host' from
+    'slow engine'."""
+    cur = min(_speed_probe_multi() for _ in range(2))
+    best = cur
+    try:
+        with open(_CALIB_PATH) as f:
+            best = min(float(json.load(f)["best_probe_sec"]), cur)
+    except (OSError, ValueError, KeyError):
+        pass
+    os.makedirs(os.path.dirname(_CALIB_PATH), exist_ok=True)
+    with open(_CALIB_PATH, "w") as f:
+        json.dump({"best_probe_sec": round(best, 4)}, f)
+    return cur, best
+
+
+def _wait_quiet(max_wait_sec: int, slack: float = 1.35) -> dict:
+    """Optionally (SPARK_GRAFT_SCALE_WAIT_QUIET=1) hold the next timed pair
+    until the probe lands within ``slack`` of the calibrated quiet-window
+    speed, up to ``max_wait_sec`` — measuring in a known-degraded window
+    wastes an hour to produce a number about the hypervisor. Returns the
+    probe record either way; never blocks unless opted in."""
+    cur, best = _probe_calibrated()
+    rec = {"probe_sec": round(cur, 4), "probe_best_sec": round(best, 4),
+           "probe_ratio": round(cur / best, 3), "waited_sec": 0}
+    if os.environ.get("SPARK_GRAFT_SCALE_WAIT_QUIET", "0") != "1":
+        return rec
+    deadline = time.time() + max_wait_sec
+    while cur > best * slack and time.time() < deadline:
+        time.sleep(120)
+        cur, _ = _probe_calibrated()
+        rec["waited_sec"] = int(time.time() - (deadline - max_wait_sec))
+    rec["probe_sec"] = round(cur, 4)
+    rec["probe_ratio"] = round(cur / best, 3)
+    return rec
+
 
 def _cpu_snap(cores: set[int]) -> dict[int, list[int]]:
     """Per-core /proc/stat counters for the pinned cores — so every archived
@@ -173,10 +256,20 @@ def worker(
                 raise TimeoutError(f"peer never finished timing: {marker}")
             time.sleep(2)
 
-    # final-state equivalence: engine state hash == oracle hash
+    # final-state equivalence: engine state hash == oracle hash. The oracle
+    # side is precomputed once by the (unpinned) orchestrator when present —
+    # same independent derivation, without 6 pinned-core recomputes per run.
     cols = ["url", "warc_ts", "html", "text", "lang", "text_encoding"]
+    oracle_path = os.path.join(log_dir, os.pardir, "oracle.json")
+    if os.path.exists(oracle_path):
+        with open(oracle_path) as f:
+            o = json.load(f)
+        cols = o["cols"]
+        ne, he = int(o["rows"]), int(o["hash"])
+    else:
+        ne, he = content_hash(expected_final_state(log).select(*cols), cols)
     na, ha = content_hash(table.read(spark).select(*cols), cols)
-    ne, he = content_hash(expected_final_state(log).select(*cols), cols)
+    ha, he = int(ha), int(he)
 
     result = {
         "cores": cores,
@@ -208,6 +301,23 @@ def orchestrate() -> None:
     spark = get_spark("scale-gen", cores=N_BIG)
     spark.sparkContext.setLogLevel("ERROR")
     changelog(spark, EVENTS, URLS, seed=SEED, partitions=N_BIG * 4).write.parquet(log_dir)
+    # equivalence oracle ONCE, here, unpinned: the expected-final-state hash
+    # is a pure function of the changelog, identical for every worker — each
+    # worker re-deriving it on its PINNED cores added ~25 untimed minutes
+    # per local[2] repeat (6 recomputes per protocol run) without making the
+    # check any more independent. Workers still hash their OWN engine state
+    # and compare against this.
+    from embulk_input_marketo_spark.functions.compare import content_hash
+    from embulk_input_marketo_spark.generator import expected_final_state
+
+    _ORACLE_COLS = ["url", "warc_ts", "html", "text", "lang", "text_encoding"]
+    olog = spark.read.parquet(log_dir)
+    n_exp, h_exp = content_hash(
+        expected_final_state(olog).select(*_ORACLE_COLS), _ORACLE_COLS
+    )
+    with open(os.path.join(log_dir, os.pardir, "oracle.json"), "w") as f:
+        json.dump({"rows": int(n_exp), "hash": int(h_exp),
+                   "cols": _ORACLE_COLS}, f)
     spark.stop()
 
     # ADJACENT pairs, efficiency scored per pair: this VM shows intermittent
@@ -240,6 +350,15 @@ def orchestrate() -> None:
     runs: dict[int, list[dict]] = {N_SMALL: [], N_BIG: []}
     pairs: list[dict] = []
     for r in range(repeats):
+        # host-window telemetry (and, opted-in, a quiet-window gate) BEFORE
+        # each timed pair: the probe records how far the host is from its
+        # calibrated quiet-window speed, so a failing pair is attributable
+        # to the hypervisor with data rather than inference
+        probe = _wait_quiet(
+            max_wait_sec=int(
+                os.environ.get("SPARK_GRAFT_SCALE_QUIET_WAIT", "3600")
+            )
+        )
         outs = {c: os.path.join(work, f"r{c}_{r}.json") for c in (N_SMALL, N_BIG)}
         procs = []
         for cores in (N_SMALL, N_BIG):
@@ -278,6 +397,7 @@ def orchestrate() -> None:
             ),
             f"local[{N_SMALL}]_cpu": got[N_SMALL].get("cpu_during_timed_window"),
             f"local[{N_BIG}]_cpu": got[N_BIG].get("cpu_during_timed_window"),
+            "host_probe": probe,
         })
 
     def best(rs):

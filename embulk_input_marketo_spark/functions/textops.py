@@ -364,3 +364,111 @@ def lang_id(col: Column | str) -> Column:
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
     return best_lang
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules + hashed linear classifier
+# ---------------------------------------------------------------------------
+
+def gopher_flags(
+    col: Column | str,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-family document-level quality rules (Rae et al. 2021 §A.1.1,
+    the MassiveWeb repetition-free subset), each as a named column plus the
+    conjunction ``keep`` — the standard pre-training heuristic filter
+    stack. Thresholds are parameters; defaults follow the paper scaled to
+    short fixture documents (the paper uses 50..100k words).
+
+    Everything is JVM-side: counts via regexp/length arithmetic, the one
+    per-word predicate (does the word contain a letter) via a ``filter``
+    HOF over the split array — interpreted, but a single pass over each
+    doc's own words, never wider than one row. ``mean_word_len`` divides
+    the space-free character count by the whitespace word count, which is
+    exact for any run of whitespace because both sides ignore it.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    n_words = token_count(c)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / nw
+    words = F.split(t, r"\s+")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    # ellipsis / hash marks per word — the Gopher "symbol ratio" rule
+    n_sym = F.regexp_count(t, F.lit(r"\.\.\.|#")).cast("long")
+    hits = stopword_hits(F.lower(t), "en")
+    flags = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wl, 6),
+        "alpha_word_frac": F.round(n_alpha_words.cast("double") / nw, 6),
+        "symbol_ratio": F.round(n_sym.cast("double") / nw, 6),
+        "stopword_hits": hits,
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_alpha_words": (n_alpha_words.cast("double") / nw)
+        >= min_alpha_word_frac,
+        "ok_symbol_ratio": (n_sym.cast("double") / nw) <= max_symbol_ratio,
+        "ok_stopwords": hits >= min_stopword_hits,
+    }
+    flags["keep"] = (
+        flags["ok_word_count"]
+        & flags["ok_mean_word_len"]
+        & flags["ok_alpha_words"]
+        & flags["ok_symbol_ratio"]
+        & flags["ok_stopwords"]
+    )
+    return flags
+
+
+def hashed_classifier_score(
+    col: Column | str, seed: str = "w7", scale: int = 500
+) -> dict[str, Column]:
+    """Hashed-bag-of-words linear classifier scoring — the fasttext /
+    DCLM-style quality-classifier pass re-expressed as pure column
+    functions. Each token's weight is an integer in [-scale, scale]
+    derived from md5(token|seed) (a stand-in weight table: a real model's
+    weights would arrive as a broadcast hash-bucket array with identical
+    plan shape); the document score is the integer weight sum normalized
+    by scale·n_words into [-1, 1].
+
+    Integer-exact until the single final division (the
+    token_frequency_stats discipline), so the DuckDB oracle reproduces the
+    score bit-for-bit. The weight map + fold run as transform/aggregate
+    HOFs over each doc's own token array — interpreted eval, one pass,
+    per-row bounded; at corpus scale the numpy Arrow backend pattern
+    (dedup_docs._minhash_np_udf) is the drop-in accel if this stage ever
+    dominates.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    n_words = token_count(c)
+    words = F.split(t, r"\s+")
+    weights = F.transform(
+        words,
+        lambda w: F.conv(
+            F.substring(F.md5(F.concat(w, F.lit("|" + seed))), 1, 4), 16, 10
+        ).cast("long")
+        % (2 * scale + 1)
+        - scale,
+    )
+    wsum = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    score = wsum.cast("double") / (
+        F.lit(float(scale)) * F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    return {
+        "n_words": n_words,
+        "weight_sum": wsum,
+        "clf_score": F.round(score, 6),
+        "clf_label": score > 0,
+    }

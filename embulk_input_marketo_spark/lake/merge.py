@@ -415,15 +415,41 @@ def _merge_cow(
         batch_full.unpersist()
 
 
+def _zorder_sort_key(df, zorder_by: list[str]):
+    """Build the 64-bit Morton key for two data columns, picking the
+    order-preserving 32-bit dimension map by column type."""
+    from embulk_input_marketo_spark.functions import zorder
+
+    if len(zorder_by) != 2:
+        raise ValueError("zorder_by takes exactly two columns")
+    dims = []
+    for name in zorder_by:
+        dt = df.schema[name].dataType.simpleString()
+        if dt == "timestamp":
+            dims.append(zorder.dim_from_timestamp(name))
+        elif dt == "string":
+            dims.append(zorder.dim_from_string_prefix(name))
+        else:
+            dims.append(zorder.dim_from_long(name))
+    return zorder.zorder_key(dims[0], dims[1])
+
+
 def compact_buckets(
     spark: SparkSession,
     table: LakeTable,
     buckets: list[int],
     salt_buckets: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Fold the given buckets' delta generations into one reduced generation
     (metadata + data rewrite of ONLY those buckets). Idempotent; keeps
-    tombstones (vacuum_tombstones reclaims those)."""
+    tombstones (vacuum_tombstones reclaims those).
+
+    ``zorder_by``: exactly two data columns — compacted files are written
+    in Morton z-order of those dimensions instead of plain key order
+    (functions/zorder.py), so range predicates on EITHER column skip row
+    groups; the merge key rides as the tiebreak sort so point lookups keep
+    usable (looser) min/max. Plain key-sort remains the default."""
     m = table.manifest()
     data_cols = [f.name for f in m.current_schema().fields]
     full_cols = data_cols + ["_lsn", "_deleted"]
@@ -438,12 +464,16 @@ def compact_buckets(
     )
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
-    (
+    if zorder_by is None:
         # key-sorted within each bucket: compacted files carry tight
         # parquet min/max on the merge key, so a point lookup reads one
         # bucket AND skips to the row groups covering the key
+        sort_cols = [F.col(m.key_col)]
+    else:
+        sort_cols = [_zorder_sort_key(reduced, zorder_by), F.col(m.key_col)]
+    (
         reduced.repartition(max(len(buckets), 1), F.col("_b"))
-        .sortWithinPartitions(m.key_col)
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(staging)

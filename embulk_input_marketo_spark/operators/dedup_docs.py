@@ -821,3 +821,28 @@ def ngram_jaccard(
         .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
     )
     return j
+
+
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """The terminal stage of the dedup pipeline: materialize the
+    DEDUPLICATED CORPUS — input documents minus every non-survivor of the
+    verified near-duplicate pair set. :func:`near_dup_survivors` decides
+    who lives; this applies the decision, returning the kept rows with
+    their full payload columns (what actually ships to tokenization).
+
+    Scale shape: the survivor frame is (id, keep) — 16 bytes a row — so the
+    semi-join back is a plain key-partitioned join (broadcastable whenever
+    the duplicate-touched id set is small, which AQE decides from runtime
+    stats); the corpus payload (html/text) moves through exactly once and
+    only for kept rows after the filter."""
+    keep = near_dup_survivors(
+        docs, pairs, id_col=id_col, quality_col=quality_col
+    ).where(F.col("keep"))
+    return docs.join(
+        keep.select(F.col(id_col).cast("long").alias(id_col)), id_col, "semi"
+    )

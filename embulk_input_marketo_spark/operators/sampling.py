@@ -178,3 +178,54 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
     return df.where(sample_draw(key_col, seed) < rate)
+
+
+def corpus_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget mixture sampling — the corpus-mixing step of training-
+    data assembly: given target mixture ``weights`` per source and a total
+    ``budget_tokens``, keep each source's documents at the rate that lands
+    its expected token contribution on ``weight/Σweights · budget``
+    (clamped at 1.0 when a source is too small to fill its share — the
+    under-supplied-source case is surfaced, not silently re-normalized).
+
+    The per-document draw is the same pure (key, seed) md5 draw as
+    :func:`stratified_sample`, so the selected set is reproducible,
+    engine-independent, and monotone in the budget: raising the budget only
+    adds documents.
+
+    Scale shape: one map-side-combined aggregate produces the per-source
+    token totals (|sources| rows), which join back BROADCAST; the corpus
+    itself never shuffles — the final keep decision is a codegen'd filter
+    over the scan. Sources not in ``weights`` get rate 0 (dropped).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from embulk_input_marketo_spark.functions.textops import token_count
+
+    n_tok = (
+        F.col(token_col) if token_col else token_count(text_col)
+    ).alias("n_tokens")
+    base = df.select(key_col, source_col, n_tok)
+    totals = base.groupBy(source_col).agg(F.sum("n_tokens").alias("_tot"))
+    wsum = float(sum(weights.values()))
+    target = F.lit(0.0)
+    for s, w in sorted(weights.items()):
+        target = F.when(
+            F.col(source_col) == s,
+            F.lit(float(w) / wsum * float(budget_tokens)),
+        ).otherwise(target)
+    rate = F.least(F.lit(1.0), target / F.col("_tot").cast("double"))
+    return (
+        base.join(broadcast(totals), on=source_col)
+        .where(sample_draw(key_col, seed) < rate)
+        .select(key_col, source_col, "n_tokens", F.round(rate, 6).alias("rate"))
+    )

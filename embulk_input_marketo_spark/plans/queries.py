@@ -1962,6 +1962,350 @@ def _sql_near_dup_survivors() -> str:
     """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family document quality rules (word-count bounds, mean word
+    length, alpha-word fraction, symbol ratio, stopword floor) — the
+    heuristic filter stack of MassiveWeb-style corpus cleaning, per-rule
+    flags plus the conjunction. All JVM expressions; the oracle recomputes
+    every rule from the raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = textops.gopher_flags("text", min_words=10, max_words=100_000)
+    return docs.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["alpha_word_frac"].alias("alpha_word_frac"),
+        flags["symbol_ratio"].alias("symbol_ratio"),
+        flags["stopword_hits"].alias("stopword_hits"),
+        flags["keep"].alias("keep"),
+    )
+
+
+def _sql_gopher_quality() -> str:
+    return r"""
+    WITH b AS (
+      SELECT doc_id, TRIM(text) AS t,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_words
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_words,
+             CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE)
+               / GREATEST(n_words, 1) AS mean_wl,
+             CAST(len(list_filter(regexp_split_to_array(t, '\s+'),
+                                  w -> regexp_matches(w, '[A-Za-z]')))
+                  AS DOUBLE) / GREATEST(n_words, 1) AS alpha_frac,
+             CAST(len(regexp_extract_all(t, '\.\.\.|#')) AS DOUBLE)
+               / GREATEST(n_words, 1) AS sym_ratio,
+             CAST(len(regexp_split_to_array(lower(t),
+                      '\b(the|and|of|to|a)\b')) - 1 AS BIGINT) AS hits
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_wl, 6) AS mean_word_len,
+           ROUND(alpha_frac, 6) AS alpha_word_frac,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           hits AS stopword_hits,
+           (n_words >= 10 AND n_words <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0
+            AND alpha_frac >= 0.8 AND sym_ratio <= 0.1
+            AND hits >= 2) AS keep
+    FROM m
+    """
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear classifier scoring (the fasttext/DCLM
+    quality-classifier pass): md5-derived integer token weights summed per
+    document, normalized into [-1, 1]. Integer-exact until one final
+    division, so the oracle reproduces the score bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = textops.hashed_classifier_score("text")
+    return docs.select(
+        "doc_id",
+        cols["n_words"].alias("n_words"),
+        cols["weight_sum"].alias("weight_sum"),
+        cols["clf_score"].alias("clf_score"),
+        cols["clf_label"].alias("clf_label"),
+    )
+
+
+def _sql_quality_classifier() -> str:
+    return r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_words,
+             CAST(list_sum(list_transform(
+                    regexp_split_to_array(TRIM(text), '\s+'),
+                    t -> CAST(('0x' || substr(md5(t || '|w7'), 1, 4))
+                              AS BIGINT) % 1001 - 500)) AS BIGINT) AS wsum
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           wsum AS weight_sum,
+           ROUND(CAST(wsum AS DOUBLE)
+                 / (CAST(500 AS DOUBLE)
+                    * CAST(GREATEST(n_words, 1) AS DOUBLE)), 6) AS clf_score,
+           (CAST(wsum AS DOUBLE)
+            / (CAST(500 AS DOUBLE)
+               * CAST(GREATEST(n_words, 1) AS DOUBLE)) > 0) AS clf_label
+    FROM w
+    """
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling over sources: src0 weighted 2, src1
+    and src2 weighted 1, src3 dropped, against a 5000-token budget. The
+    per-source keep-rate derives from the corpus's own token totals; the
+    per-doc draw is the engine-independent md5 draw."""
+    from embulk_input_marketo_spark.operators.sampling import corpus_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_mix(
+        d, weights={"src0": 2.0, "src1": 1.0, "src2": 1.0},
+        budget_tokens=5000, source_col="source", key_col="doc_id",
+        text_col="text", seed=42,
+    )
+
+
+def _sql_corpus_mix() -> str:
+    return r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+'))
+                       AS BIGINT) END AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT source, SUM(n_tokens) AS tot FROM tok GROUP BY source
+    ), j AS (
+      SELECT t.doc_id, t.source, t.n_tokens,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   CAST(CASE t.source WHEN 'src0' THEN 2500.0
+                                      WHEN 'src1' THEN 1250.0
+                                      WHEN 'src2' THEN 1250.0
+                                      ELSE 0.0 END AS DOUBLE)
+                   / CAST(tot AS DOUBLE)) AS rate
+      FROM tok t JOIN tot USING (source)
+    )
+    SELECT doc_id, source, n_tokens, ROUND(rate, 6) AS rate
+    FROM j
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8))
+               AS BIGINT) / 4294967296.0 < rate
+    """
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's terminal apply: MinHash→LSH candidates → exact
+    3-gram Jaccard verify → components → survivors → THE KEPT CORPUS (the
+    rows that ship to tokenization). The oracle derives the same kept set
+    from normalized-text equality groups."""
+    docs = _docs_with_copies(spark, sf_dir)
+    cand = dedup_docs.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=3
+    )
+    verified = dedup_docs.ngram_jaccard(cand, docs, n=3, threshold=0.999)
+    kept = dedup_docs.apply_dedup(
+        docs, verified.select("left_id", "right_id")
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _sql_dedup_apply() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id, text,
+             regexp_replace(TRIM(lower(text)), '\s+', ' ', 'g') AS t
+      FROM docs
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, text,
+                 MIN(doc_id) OVER (PARTITION BY t) AS component_id
+          FROM norm)
+    WHERE doc_id = component_id
+    """
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys (functions/zorder.py): the 64-bit Morton
+    interleave of two document dimensions — pure shift/mask longs, fully
+    codegen. The oracle replays the identical 5-step bit-spreading chain
+    in SQL integer arithmetic, so the layout key is engine-independent."""
+    from embulk_input_marketo_spark.functions import zorder
+
+    docs = _t(spark, sf_dir, "documents")
+    a = zorder.dim_from_long("doc_id")
+    b = zorder.dim_from_long("n_chars")
+    return docs.select(
+        "doc_id", zorder.zorder_key(a, b).alias("zkey")
+    )
+
+
+def _sql_zorder_layout() -> str:
+    def spread(e: str) -> str:
+        s = f"(({e}) & 4294967295)"
+        for sh, mask in [
+            (16, 281470681808895),
+            (8, 71777214294589695),
+            (4, 1085102592571150095),
+            (2, 3689348814741910323),
+            (1, 6148914691236517205),
+        ]:
+            s = f"((({s}) | (({s}) << {sh})) & {mask})"
+        return s
+
+    def dim(e: str) -> str:
+        return f"LEAST(GREATEST(CAST({e} AS BIGINT), 0), 2147483647)"
+
+    sa = spread(dim("doc_id"))
+    sb = spread(dim("n_chars"))
+    return f"""
+    SELECT doc_id, (({sa}) | (({sb}) << 1)) AS zkey FROM documents
+    """
+
+
+def q_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance off the change data feed — the
+    pre-image consumer: replay a prefix (snapshot v1), take the rollup
+    (COUNT + integer-exact SUM per user-id group), replay the rest (v2),
+    then maintain the rollup from changes(v1→v2, include_preimage=True)
+    alone — the base table is never re-read. The oracle recomputes the
+    final rollup from scratch over the raw events, so any pre-image error
+    (missing, duplicated, mis-signed) lands as a value mismatch."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.lake.incremental import (
+        incremental_agg_delta,
+        merge_agg_delta,
+    )
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_iagg_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    grp = (F.col("url").cast("long") % 16).alias("grp")
+    # integer-exact measure (the token_frequency_stats discipline): floor of
+    # a fixed-point scaling, so sums are associative and engine-independent
+    ival = F.coalesce(
+        F.floor(F.col("value") * 1000).cast("long"), F.lit(0)
+    )
+
+    replay(spark, log.where(F.col("lsn") <= 5000), table, n_slices=1)
+    v1 = table.current_version()
+    base = (
+        table.read(spark, version=v1)
+        .select(grp, ival.alias("ival"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("ival").cast("long").alias("vsum"),
+        )
+    )
+    replay(spark, log, table, n_slices=1)
+    feed = table.changes(spark, v1, include_preimage=True).select(
+        grp, ival.alias("ival"), "_change"
+    )
+    delta = incremental_agg_delta(feed, ["grp"], "ival")
+    return merge_agg_delta(base, delta, ["grp"]).orderBy("grp")
+
+
+def _sql_cdf_incremental_agg() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS user_id, ts, value, props
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log
+    ), fin AS (
+      SELECT * FROM latest WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT CAST(user_id AS BIGINT) % 16 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(CAST(floor(value * 1000) AS BIGINT), 0))
+                AS BIGINT) AS vsum
+    FROM fin GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering: per-doc URLs (synthesized from doc_id)
+    canonicalized through urlops, host extracted, then a BROADCAST
+    left-anti join against the blocklist (every 5th site-K domain) — the
+    standard web-corpus domain filter, with the blocklist as a true small
+    dimension side. The oracle builds the host directly from doc_id and
+    anti-joins the same generated list — an independent derivation of both
+    the host and the join."""
+    from embulk_input_marketo_spark.functions import urlops
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Site-"), (d % 40).cast("string"),
+        F.lit(".ExAmple.COM:443/p"),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("url_raw"))
+    hosts = docs.withColumn(
+        "host", urlops.url_host(urlops.normalize_url(F.col("url_raw")))
+    )
+    block = spark.range(8).select(
+        F.concat(F.lit("site-"), (F.col("id") * 5).cast("string"),
+                 F.lit(".example.com")).alias("host")
+    )
+    return (
+        hosts.join(F.broadcast(block), "host", "left_anti")
+        .select("doc_id", "host")
+    )
+
+
+def _sql_domain_blocklist() -> str:
+    return r"""
+    WITH d AS (
+      SELECT doc_id,
+             'site-' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host
+      FROM documents
+    )
+    SELECT doc_id, host FROM d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM range(0, 40, 5) r
+      WHERE 'site-' || CAST(r.range AS VARCHAR) || '.example.com' = d.host)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2017,6 +2361,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "near_dup_components": q_near_dup_components,
     "near_dup_survivors": q_near_dup_survivors,
+    "gopher_quality": q_gopher_quality,
+    "quality_classifier": q_quality_classifier,
+    "corpus_mix": q_corpus_mix,
+    "dedup_apply": q_dedup_apply,
+    "domain_blocklist": q_domain_blocklist,
+    "cdf_incremental_agg": q_cdf_incremental_agg,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLES: dict[str, str] = {
@@ -2078,4 +2429,11 @@ ORACLES: dict[str, str] = {
     "url_normalize": _sql_url_normalize(),
     "near_dup_components": _sql_near_dup_components(),
     "near_dup_survivors": _sql_near_dup_survivors(),
+    "gopher_quality": _sql_gopher_quality(),
+    "quality_classifier": _sql_quality_classifier(),
+    "corpus_mix": _sql_corpus_mix(),
+    "dedup_apply": _sql_dedup_apply(),
+    "domain_blocklist": _sql_domain_blocklist(),
+    "cdf_incremental_agg": _sql_cdf_incremental_agg(),
+    "zorder_layout": _sql_zorder_layout(),
 }

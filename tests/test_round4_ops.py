@@ -1,0 +1,332 @@
+"""Round-4 corpus operators: Gopher quality rules, hashed linear
+classifier, token-budget corpus mixing, dedup apply, domain blocklist."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_input_marketo_spark.functions import textops
+from embulk_input_marketo_spark.operators import dedup_docs
+from embulk_input_marketo_spark.operators.sampling import corpus_mix
+
+
+def _flags_row(spark, text, **kw):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    flags = textops.gopher_flags("text", **kw)
+    return df.select(
+        *[v.alias(k) for k, v in flags.items()]
+    ).collect()[0].asDict()
+
+
+class TestGopherFlags:
+    def test_clean_doc_keeps(self, spark):
+        r = _flags_row(
+            spark,
+            "the quick brown fox jumps over and over the lazy dog of town",
+        )
+        assert r["keep"] is True
+        assert r["ok_word_count"] and r["ok_stopwords"]
+
+    def test_too_few_words_rejected(self, spark):
+        r = _flags_row(spark, "the and of it")
+        assert r["ok_word_count"] is False and r["keep"] is False
+
+    def test_symbol_ratio_rejects(self, spark):
+        # 12 words, 3 ellipses -> ratio 0.25 > 0.1
+        r = _flags_row(
+            spark,
+            "the cat and dog of ... town ran ... far away ... quickly now",
+        )
+        assert r["ok_symbol_ratio"] is False and r["keep"] is False
+
+    def test_non_alpha_words_rejected(self, spark):
+        # >20% pure-number words
+        r = _flags_row(
+            spark,
+            "the 11 22 33 44 55 66 and of data rows go 77 88 99 00",
+        )
+        assert r["ok_alpha_words"] is False and r["keep"] is False
+
+    def test_mean_word_len_bounds(self, spark):
+        short = _flags_row(spark, "a b c d e f g h i j k l m n o p")
+        assert short["ok_mean_word_len"] is False
+        long = _flags_row(
+            spark,
+            " ".join(["extraordinarily"] * 12),
+        )
+        assert long["ok_mean_word_len"] is False
+
+    def test_stopword_floor(self, spark):
+        r = _flags_row(
+            spark,
+            "quick brown fox jumps over lazy dog near tall green trees daily",
+        )
+        assert r["stopword_hits"] < 2 and r["ok_stopwords"] is False
+
+
+class TestHashedClassifier:
+    def test_deterministic_and_exact(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        cols = textops.hashed_classifier_score("text")
+        out = df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[0]["weight_sum"] == rows[1]["weight_sum"]
+        # recompute one token weight in python: md5 hex -> int -> centered
+        import hashlib
+
+        def w(tok):
+            h = hashlib.md5((tok + "|w7").encode()).hexdigest()[:4]
+            return int(h, 16) % 1001 - 500
+
+        expect = sum(w(t) for t in "alpha beta gamma".split())
+        assert rows[0]["weight_sum"] == expect
+        assert rows[0]["clf_score"] == round(expect / (500.0 * 3), 6)
+
+    def test_score_bounded(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cols = textops.hashed_classifier_score("text")
+        bad = docs.select(cols["clf_score"].alias("s")).where(
+            (F.col("s") > 1.0) | (F.col("s") < -1.0)
+        )
+        assert bad.count() == 0
+
+
+class TestCorpusMix:
+    def test_budget_monotone_and_rate_shape(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = {"src0": 2.0, "src1": 1.0}
+        small = corpus_mix(docs, w, budget_tokens=2000)
+        big = corpus_mix(docs, w, budget_tokens=8000)
+        s_ids = {r["doc_id"] for r in small.collect()}
+        b_ids = {r["doc_id"] for r in big.collect()}
+        # monotone: raising the budget only ADDS documents
+        assert s_ids <= b_ids
+        # unlisted sources are dropped entirely
+        srcs = {r["source"] for r in big.select("source").distinct().collect()}
+        assert srcs <= {"src0", "src1"}
+
+    def test_rate_clamps_at_one(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "srcA", "one two three") for i in range(20)],
+            "doc_id long, source string, text string",
+        )
+        out = corpus_mix(
+            docs, {"srcA": 1.0}, budget_tokens=10_000_000
+        )
+        rows = out.collect()
+        assert len(rows) == 20  # rate 1.0 keeps everything
+        assert all(r["rate"] == 1.0 for r in rows)
+
+    def test_corpus_never_shuffles_wide(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = corpus_mix(docs, {"src0": 1.0}, budget_tokens=1000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the totals side broadcasts; the corpus side must not sort-merge
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestDedupApply:
+    def test_copies_removed_originals_kept(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "aa bb cc dd ee ff gg hh"),
+             (1, "zz yy xx ww vv uu tt ss"),
+             (100000, "aa bb cc dd ee ff gg hh")],  # copy of 0
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 100000)], "left_id long, right_id long"
+        )
+        kept = dedup_docs.apply_dedup(docs, pairs)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [0, 1]
+        # payload columns survive the semi-join
+        assert set(kept.columns) == {"doc_id", "text"}
+
+    def test_quality_survivor(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "t", 0.1), (1, "t", 0.9)],
+            "doc_id long, text string, q double",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1)], "left_id long, right_id long"
+        )
+        kept = dedup_docs.apply_dedup(docs, pairs, quality_col="q")
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+class TestDomainBlocklist:
+    def test_blocklist_join_broadcasts(self, spark, sf_dir):
+        from embulk_input_marketo_spark.plans.queries import (
+            q_domain_blocklist,
+        )
+
+        out = q_domain_blocklist(spark, sf_dir)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        hosts = {r["host"] for r in out.select("host").distinct().collect()}
+        blocked = {f"site-{k}.example.com" for k in range(0, 40, 5)}
+        assert hosts.isdisjoint(blocked)
+        assert len(hosts) == 32  # 40 sites minus 8 blocked
+
+
+class TestIncrementalAgg:
+    def _feed(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "grp long, ival long, _change string"
+        )
+
+    def test_signed_delta_and_merge(self, spark):
+        from embulk_input_marketo_spark.lake.incremental import (
+            incremental_agg_delta,
+            merge_agg_delta,
+        )
+
+        base = spark.createDataFrame(
+            [(0, 2, 100), (1, 1, 50)], "grp long, n_rows long, vsum long"
+        )
+        feed = self._feed(
+            spark,
+            [
+                (0, 30, "insert"),            # +1 row, +30
+                (0, 40, "update_preimage"),   # -40
+                (0, 45, "update_postimage"),  # +5 net, rows unchanged
+                (1, 50, "delete"),            # group 1 empties out
+                (2, 7, "insert"),             # brand-new group
+            ],
+        )
+        delta = incremental_agg_delta(feed, ["grp"], "ival")
+        out = {
+            r["grp"]: (r["n_rows"], r["vsum"])
+            for r in merge_agg_delta(base, delta, ["grp"]).collect()
+        }
+        assert out == {0: (3, 135), 2: (1, 7)}  # group 1 dropped at zero
+
+    def test_plain_update_raises(self, spark):
+        from embulk_input_marketo_spark.lake.incremental import (
+            incremental_agg_delta,
+        )
+
+        feed = self._feed(spark, [(0, 1, "update")])
+        delta = incremental_agg_delta(feed, ["grp"], "ival")
+        with pytest.raises(Exception, match="include_preimage"):
+            delta.collect()
+
+    def test_incremental_equals_recompute_on_lake(self, spark, sf_dir):
+        """The end-to-end property: rollup maintained from the pre-image
+        feed == rollup recomputed from the final table."""
+        from embulk_input_marketo_spark.plans.queries import (
+            q_cdf_incremental_agg,
+        )
+
+        inc = {
+            r["grp"]: (r["n_rows"], r["vsum"])
+            for r in q_cdf_incremental_agg(spark, sf_dir).collect()
+        }
+        # recompute from the raw events via the flagship final-state query
+        from embulk_input_marketo_spark.plans.queries import q_cdc_final_state
+
+        fin = q_cdc_final_state(spark, sf_dir)
+        full = {
+            r["grp"]: (r["n_rows"], r["vsum"])
+            for r in fin.select(
+                (F.col("user_id").cast("long") % 16).alias("grp"),
+                F.coalesce(
+                    F.floor(F.col("value") * 1000).cast("long"), F.lit(0)
+                ).alias("ival"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("ival").cast("long").alias("vsum"),
+            )
+            .collect()
+        }
+        assert inc == full
+
+
+class TestZorder:
+    def test_interleave_matches_reference(self, spark):
+        from embulk_input_marketo_spark.functions import zorder
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5), (2**31 - 1, 2**31 - 1),
+             (12345, 67890)],
+            "a long, b long",
+        )
+        out = df.select(
+            "a", "b",
+            zorder.zorder_key(
+                zorder.dim_from_long("a"), zorder.dim_from_long("b")
+            ).alias("z"),
+        ).collect()
+
+        def spread(x):
+            x &= 0xFFFFFFFF
+            for sh, m in [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                          (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                          (1, 0x5555555555555555)]:
+                x = (x | (x << sh)) & m
+            return x
+
+        for r in out:
+            assert r["z"] == spread(r["a"]) | (spread(r["b"]) << 1)
+            assert r["z"] >= 0  # 31-bit dims keep the sign bit clear
+
+    def test_string_prefix_dim_order_preserving(self, spark):
+        from embulk_input_marketo_spark.functions import zorder
+
+        df = spark.createDataFrame(
+            [("a",), ("ab",), ("b",), ("ba",), ("zzzz",), ("",), (None,)],
+            "s string",
+        )
+        rows = df.select(
+            "s", zorder.dim_from_string_prefix("s").alias("d")
+        ).collect()
+        d = {r["s"]: r["d"] for r in rows}
+        assert d["a"] < d["ab"] < d["b"] < d["ba"] < d["zzzz"]
+        assert d[""] == d[None] == 0
+
+    def test_compaction_zorder_content_identical(self, spark, tmp_path):
+        """compact_buckets(zorder_by=...) reorders rows inside files only —
+        read-back content and point lookup are unchanged."""
+        from pyspark.sql import types as T
+
+        from embulk_input_marketo_spark.functions.compare import (
+            assert_same_state,
+        )
+        from embulk_input_marketo_spark.lake import LakeTable
+        from embulk_input_marketo_spark.lake.merge import (
+            compact_buckets,
+            merge_batch,
+        )
+
+        schema = T.StructType([
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        tbl = LakeTable.create(
+            str(tmp_path / "t"), schema, key_col="url",
+            lww_major="warc_ts", n_buckets=4,
+        )
+        df = spark.range(200).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.timestamp_seconds(F.col("id") * 60 + 1_000_000).alias(
+                "warc_ts"
+            ),
+            (F.col("id") * 1.5).alias("value"),
+            F.lit("I").alias("op"),
+            F.col("id").alias("_lsn"),
+        )
+        merge_batch(spark, tbl, df, batch_id="b1")
+        before = tbl.read(spark)
+        compact_buckets(
+            spark, tbl, list(range(4)), zorder_by=["url", "warc_ts"]
+        )
+        after = tbl.read(spark)
+        assert_same_state(before, after)
+        got = tbl.lookup(spark, "u7").collect()
+        assert len(got) == 1 and got[0]["value"] == 10.5

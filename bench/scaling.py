@@ -90,41 +90,49 @@ def _speed_probe_multi(n: int = 8) -> float:
     return max(times)
 
 
-def _probe_calibrated() -> tuple[float, float]:
-    """(current probe time, best-ever probe time). Persists the minimum —
-    the host's quiet-window speed — so later runs can tell 'slow host' from
-    'slow engine'."""
-    cur = min(_speed_probe_multi() for _ in range(2))
-    best = cur
+def _probe_once() -> dict:
+    """One probe sample: single-core time, worst concurrent-8 time, and
+    their RATIO — the self-calibrating window-quality number. Unthrottled
+    hosts run concurrent copies at single-copy speed (ratio ≈ 1, any base
+    clock); this hypervisor's bad windows measured ratio ≈ 2.0 while the
+    single-core time stayed nominal. Appends to the calibration record."""
+    single = min(_speed_probe() for _ in range(2))
+    multi = _speed_probe_multi()
+    rec = {
+        "probe_single_sec": round(single, 4),
+        "probe_multi8_worst_sec": round(multi, 4),
+        "probe_ratio": round(multi / single, 3),
+    }
     try:
-        with open(_CALIB_PATH) as f:
-            best = min(float(json.load(f)["best_probe_sec"]), cur)
-    except (OSError, ValueError, KeyError):
+        os.makedirs(os.path.dirname(_CALIB_PATH), exist_ok=True)
+        hist = []
+        if os.path.exists(_CALIB_PATH):
+            with open(_CALIB_PATH) as f:
+                hist = json.load(f).get("history", [])
+        hist = (hist + [dict(rec, ts=time.strftime("%Y%m%d-%H%M%S"))])[-50:]
+        with open(_CALIB_PATH, "w") as f:
+            json.dump({"history": hist}, f, indent=1)
+    except (OSError, ValueError):
         pass
-    os.makedirs(os.path.dirname(_CALIB_PATH), exist_ok=True)
-    with open(_CALIB_PATH, "w") as f:
-        json.dump({"best_probe_sec": round(best, 4)}, f)
-    return cur, best
+    return rec
 
 
-def _wait_quiet(max_wait_sec: int, slack: float = 1.35) -> dict:
+def _wait_quiet(max_wait_sec: int) -> dict:
     """Optionally (SPARK_GRAFT_SCALE_WAIT_QUIET=1) hold the next timed pair
-    until the probe lands within ``slack`` of the calibrated quiet-window
-    speed, up to ``max_wait_sec`` — measuring in a known-degraded window
-    wastes an hour to produce a number about the hypervisor. Returns the
-    probe record either way; never blocks unless opted in."""
-    cur, best = _probe_calibrated()
-    rec = {"probe_sec": round(cur, 4), "probe_best_sec": round(best, 4),
-           "probe_ratio": round(cur / best, 3), "waited_sec": 0}
+    until the concurrency ratio drops under SPARK_GRAFT_SCALE_QUIET_RATIO
+    (default 1.35), up to ``max_wait_sec`` — measuring in a known-throttled
+    window wastes an hour to produce a number about the hypervisor. Returns
+    the probe record either way; never blocks unless opted in."""
+    rec = _probe_once()
+    rec["waited_sec"] = 0
     if os.environ.get("SPARK_GRAFT_SCALE_WAIT_QUIET", "0") != "1":
         return rec
-    deadline = time.time() + max_wait_sec
-    while cur > best * slack and time.time() < deadline:
+    bar = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_RATIO", "1.35"))
+    t0 = time.time()
+    while rec["probe_ratio"] > bar and time.time() - t0 < max_wait_sec:
         time.sleep(120)
-        cur, _ = _probe_calibrated()
-        rec["waited_sec"] = int(time.time() - (deadline - max_wait_sec))
-    rec["probe_sec"] = round(cur, 4)
-    rec["probe_ratio"] = round(cur / best, 3)
+        rec = _probe_once()
+        rec["waited_sec"] = int(time.time() - t0)
     return rec
 
 
@@ -449,18 +457,23 @@ def _pairs_rows(s: dict) -> str:
     small_k, big_k = f"local[{N_SMALL}]", f"local[{N_BIG}]"
     lines = [
         f"| repeat | {small_k} ev/s | {big_k} ev/s | pair efficiency "
-        f"| {small_k} cpu | {big_k} cpu |",
-        "|---|---|---|---|---|---|",
+        f"| {small_k} cpu | {big_k} cpu | host probe (multi/single ratio) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for p in s.get("pairs", []):
         def cpu(k):
             c = p.get(k + "_cpu") or {}
             return (f"busy {c.get('busy', '?')} / steal {c.get('steal', '?')}"
                     if c else "—")
+        pr = p.get("host_probe") or {}
+        probe = (
+            f"{pr.get('probe_ratio', '?')} (waited {pr.get('waited_sec', 0)}s)"
+            if pr else "—"
+        )
         lines.append(
             f"| {p['repeat']} | {p[small_k + '_events_per_sec']:,} "
             f"| {p[big_k + '_events_per_sec']:,} | {p['efficiency']} "
-            f"| {cpu(small_k)} | {cpu(big_k)} |"
+            f"| {cpu(small_k)} | {cpu(big_k)} | {probe} |"
         )
     return "\n".join(lines)
 
@@ -515,6 +528,17 @@ Arrow python workers) is pinned with `taskset -c` to exactly its core
 budget — `local[N]` alone only bounds task slots, letting GC/shuffle/UDF
 threads spill onto extra host cores and inflate small-N throughput, which
 would understate true scaling.
+
+The per-pair "host probe" column is a concurrent-8-process CPU speed probe
+run immediately before each pair: ratio = worst concurrent copy / single
+copy of the same fixed loop. An unthrottled host runs concurrent copies at
+single-copy speed (ratio ≈ 1); this hypervisor's degraded windows measure
+ratio ≈ 2 while single-core speed stays nominal — exactly the failure mode
+that starves the wide config and collapses a pair's efficiency
+(`BENCH/runs/scaling-20260817-144812.json`: pairs 0.34-0.59 with local[8]
+busy only 0.73). With SPARK_GRAFT_SCALE_WAIT_QUIET=1 the protocol holds
+each timed pair until the ratio passes (default bar 1.35), so efficiency
+is measured about the ENGINE, in windows the probe proves comparable.
 
 Per-pair results (adjacent runs, efficiency = (ev/s_4N / ev/s_N) / 4):
 

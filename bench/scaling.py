@@ -40,6 +40,15 @@ BATCHES = int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "3"))
 # intermittent overcommit saturate Spark above ~8-16 threads, which would
 # measure the box, not the engine. 2→8 cores stays in the linear region
 # (BASELINE.md §3 allows "N and 4N cores for whatever N the host supports").
+# 20260817 addendum: the hypervisor entered a sustained mode that throttles
+# AGGREGATE concurrent CPU demand to ~4-5 effective cores (probe_calibration
+# history: concurrent-8/single ratio pinned at 1.7-2.6 for 40+ min while
+# single-core speed stayed nominal; the 144812 run's local[8] side ran at
+# 0.73-0.79 busy against a fully-busy local[2] and scored 0.34-0.59).
+# Under that cap a 2→8 pair measures the throttle, not the engine — the
+# launcher may therefore pass SPARK_GRAFT_SCALE_N=1 so BOTH configs (1 and
+# 4 pinned cores) fit beneath the cap; same rule, one N-step down, with the
+# probe history as the attribution record.
 N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 N_BIG = 4 * N_SMALL
 SEED = 42

@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_apply",
     "cdf_incremental_agg",
     "zorder_layout",
+    "semantic_dedup",
 ]
 
 

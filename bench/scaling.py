@@ -487,6 +487,44 @@ def _pairs_rows(s: dict) -> str:
     return "\n".join(lines)
 
 
+def _archive_rows() -> str:
+    """Table of EVERY archived protocol run, pass or fail — the record the
+    headline must be judged against: quiet-window runs (probe ratio ≈ 1)
+    measure the engine; throttled-window runs measure the hypervisor's
+    aggregate-CPU cap. Older stamps may use a different N (2→8 before the
+    20260817 throttle mode forced 1→4) — the column says which."""
+    import glob
+
+    rows = [
+        "| archived run | config | events | median pair eff | best pair "
+        "| result |",
+        "|---|---|---|---|---|---|",
+    ]
+    for p in sorted(
+        glob.glob(os.path.join(REPO, "BENCH", "runs", "scaling-*.json"))
+    ):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        eff = d.get("scaling_efficiency")
+        if eff is None:
+            continue
+        cfgs = sorted(
+            (k for k in d if k.startswith("local[")),
+            key=lambda k: int(k[6:-1]),
+        )
+        ev = d.get("events")
+        ev_s = f"{ev:,}" if isinstance(ev, int) else "?"
+        rows.append(
+            f"| {os.path.basename(p)} | {'→'.join(cfgs)} | {ev_s} "
+            f"| {eff} | {d.get('scaling_efficiency_best_pair', '—')} "
+            f"| {'PASS' if d.get('pass') else 'FAIL'} |"
+        )
+    return "\n".join(rows)
+
+
 def _write_md(s: dict) -> None:
     import pyspark
 
@@ -556,6 +594,18 @@ Per-pair results (adjacent runs, efficiency = (ev/s_4N / ev/s_N) / 4):
 **Scaling efficiency (median adjacent pair)**
 = **{s['scaling_efficiency']}** (pass bar ≥ 0.8 → {'PASS' if s['pass'] else 'FAIL'};
 best pair {s.get('scaling_efficiency_best_pair', s['scaling_efficiency'])})
+
+## Run archive (every completed protocol run, pass or fail)
+
+The engine's replay path is identical across these stamps unless a commit
+between them says otherwise — what varies is the host window, and the
+probe/cpu columns of each archived JSON say which. Quiet-window runs
+(probe ratio ≈ 1, all cores ~fully busy) measure the ENGINE; throttled
+windows (ratio ≈ 2+, wide config starved) measure the hypervisor's
+aggregate-CPU cap and are archived as evidence of host conditions, not of
+engine scaling.
+
+{_archive_rows()}
 
 Equivalence = engine final state vs independent window-function oracle,
 compared by (row count, order-insensitive xxhash64 content sum) over all

@@ -150,14 +150,29 @@ def assign_cells(
     centroids: DataFrame,
     vec_col: str = "embedding",
     out_col: str = "_cell",
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Stamp each row with its highest-cosine centroid cell. No shuffle: the
     centroid table broadcasts as one packed row and the argmax is a per-row
     array expression. This is both the query-time assigner and the
-    maintenance-job primitive that lays a table out by cell."""
+    maintenance-job primitive that lays a table out by cell.
+
+    ``round_scores``: round each cosine to this many decimals BEFORE the
+    argmax (ties then break toward the LARGER cell id — struct max is
+    lexicographic). Used when an external system must reproduce the exact
+    assignment (see :func:`semantic_dedup`): rounded scores make the argmax
+    robust to last-ulp float-summation differences across engines."""
+    scores = _cell_scores(F.col(vec_col))
+    if round_scores is not None:
+        scores = F.transform(
+            scores,
+            lambda c: F.struct(
+                F.round(c["s"], round_scores).alias("s"), c["i"].alias("i")
+            ),
+        )
     return (
         df.crossJoin(_cells_pack(centroids))
-        .withColumn(out_col, F.array_max(_cell_scores(F.col(vec_col)))["i"])
+        .withColumn(out_col, F.array_max(scores)["i"])
         .drop("_cents")
     )
 
@@ -469,4 +484,113 @@ def ann_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
+def md5_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic, ENGINE-INDEPENDENT centroid draw: the ``n_cells`` rows
+    with the smallest ``md5(cast(id as string))`` hex digest become cell
+    centroids, numbered in that same md5 order. Functionally
+    :func:`train_ivf`'s uniform one-pass draw with md5 in place of xxhash64
+    — chosen where an EXTERNAL system must reproduce the exact cells (the
+    DuckDB oracle replays the identical selection and numbering; the same
+    engine-independence stance as ``operators/sampling.stratified_sample``).
+    Physically plans as TakeOrderedAndProject, like train_ivf — a
+    per-partition top-n, not a global sort. The k-means refinement seam is
+    identical to train_ivf's: re-train offline, swap the centroid table."""
+    from pyspark.sql.window import Window as W
+
+    key = F.md5(F.col(id_col).cast("string"))
+    return (
+        embeddings.select(key.alias("_k"), F.col(vec_col).alias("centroid"))
+        .orderBy("_k")
+        .limit(n_cells)
+        .withColumn(
+            "cell_id", (F.row_number().over(W.orderBy("_k")) - 1).cast("int")
+        )
+        .select("cell_id", "centroid")
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pair discovery over an embedding column
+    — the candidate stage of SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, then compare pairs ONLY inside each
+    cluster, never across the corpus. Clustering here is one deterministic
+    assignment pass over :func:`md5_centroids` (the paper's k-means fit is
+    the same offline maintenance seam as train_ivf's — pass ``centroids`` to
+    use a refined table; md5 selection keeps the default oracle-replayable).
+
+    Plan shape at 100 TB: centroids broadcast as one packed row (plan size
+    O(1) in n_cells), assignment is a per-row array expression (no
+    shuffle), and the pair join shuffles once on the int cell id. The
+    quadratic blow-up inside a cell is bounded by the SemDeDup design knob
+    itself — n_cells scales with the corpus so clusters stay small (the
+    paper uses k=50k for 5B docs); a degenerate giant cell is the LSH
+    skew-guard situation and the same remedy applies (split or route to
+    exact dedup).
+
+    Returns (left_id, right_id, cos_sim) with ``round(cos, 6) >= threshold``
+    and both docs in the same cell."""
+    cells = assign_cells(
+        embeddings,
+        centroids if centroids is not None else md5_centroids(
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+        ),
+        vec_col=vec_col,
+        round_scores=6,
+    ).select(
+        F.col(id_col), F.col(vec_col), "_cell"
+    )
+    a = cells.select(
+        F.col(id_col).alias("left_id"), F.col(vec_col).alias("_vl"), "_cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("_vr"), "_cell"
+    )
+    return (
+        a.join(b, "_cell")
+        .where(F.col("left_id") < F.col("right_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_vl"), F.col("_vr")), 6))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("left_id", "right_id", "cos_sim")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The complete SemDeDup pipeline: cluster → within-cluster cosine pairs
+    (:func:`semantic_dedup_pairs`) → connected components → min-id survivor
+    per semantic-duplicate group (``operators/dedup_docs.near_dup_survivors``
+    — the same distributed large-star/small-star resolution the text-dedup
+    pipelines use; no driver-side grouping).
+
+    Returns one row per embedding: (``id_col``, component_id, keep)."""
+    from embulk_input_marketo_spark.operators.dedup_docs import (
+        near_dup_survivors,
+    )
+
+    pairs = semantic_dedup_pairs(
+        embeddings, n_cells, threshold, id_col, vec_col, centroids
+    )
+    return near_dup_survivors(
+        embeddings.select(F.col(id_col)), pairs, id_col=id_col
     )

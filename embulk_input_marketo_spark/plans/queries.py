@@ -2306,6 +2306,88 @@ def _sql_domain_blocklist() -> str:
     """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end over the embedding column:
+    cluster the space, find within-cluster cosine >= 0.95 pairs, resolve
+    components, keep the min-id representative per semantic-duplicate
+    group. Fixture: embeddings ∪ 5 progressively-perturbed copies of each
+    vec_id < 10 vector, so real duplicate groups exist (base pairwise max
+    cosine in the table is ~0.51 — organic vectors are all singletons).
+
+    The oracle replays the ENTIRE pipeline, not an equivalent answer:
+    centroid selection is the engine-independent md5 draw
+    (:func:`functions.similarity.md5_centroids`), assignment rounds scores
+    to 6 decimals before the argmax, and components come from an
+    independent recursive-CTE transitive closure — so cell assignment,
+    pair pruning, and label propagation are all checked exactly."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = (
+        base.where(F.col("vec_id") < 10)
+        .crossJoin(spark.range(1, 6).select(F.col("id").alias("j")))
+        .select(
+            (F.lit(100000) + F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.02) * F.col("j")
+            ).alias("embedding"),
+        )
+    )
+    emb = base.unionByName(planted)
+    return similarity.semantic_dedup(emb, n_cells=8, threshold=0.95)
+
+
+def _sql_semantic_dedup() -> str:
+    return r"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), planted AS (
+      SELECT 100000 + b.vec_id * 10 + j.j AS vec_id,
+             list_transform(b.v, x -> x + 0.02 * j.j) AS v
+      FROM base b, range(1, 6) j(j) WHERE b.vec_id < 10
+    ), e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cell_id,
+             v AS centroid
+      FROM e
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8
+    ), scored AS (
+      SELECT e.vec_id, e.v, c.cell_id,
+             ROUND(list_dot_product(e.v, c.centroid)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+               AS s
+      FROM e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, v, cell_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cell_id DESC) = 1
+    ), pairs AS (
+      SELECT a.vec_id AS lu, b.vec_id AS rv
+      FROM cells a JOIN cells b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+    ), edges AS (
+      SELECT lu AS u, rv AS v FROM pairs
+      UNION
+      SELECT rv, lu FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u
+    ), comp AS (SELECT u, MIN(r) AS component_id FROM reach GROUP BY u)
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           CAST(COALESCE(comp.component_id, e.vec_id) AS BIGINT)
+             AS component_id,
+           e.vec_id = COALESCE(comp.component_id, e.vec_id) AS keep
+    FROM e LEFT JOIN comp ON comp.u = e.vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2368,6 +2450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_blocklist": q_domain_blocklist,
     "cdf_incremental_agg": q_cdf_incremental_agg,
     "zorder_layout": q_zorder_layout,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2436,4 +2519,5 @@ ORACLES: dict[str, str] = {
     "domain_blocklist": _sql_domain_blocklist(),
     "cdf_incremental_agg": _sql_cdf_incremental_agg(),
     "zorder_layout": _sql_zorder_layout(),
+    "semantic_dedup": _sql_semantic_dedup(),
 }

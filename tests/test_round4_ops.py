@@ -330,3 +330,80 @@ class TestZorder:
         assert_same_state(before, after)
         got = tbl.lookup(spark, "u7").collect()
         assert len(got) == 1 and got[0]["value"] == 10.5
+
+
+class TestSemanticDedup:
+    """SemDeDup: cluster -> within-cell cosine pairs -> components ->
+    min-id survivor. Cell-assignment exactness vs an external engine is
+    the oracle gate's job (`semantic_dedup` query); here: pipeline
+    semantics on planted clusters and the rounded-argmax tie rule."""
+
+    def _planted(self, spark):
+        # two tight clusters along orthogonal axes + one far singleton:
+        # ids 0-2 near e0, ids 10-12 near e1, id 99 along (1,1,...)/norm
+        rows = []
+        for i, base in ((0, 0), (10, 1)):
+            for j in range(3):
+                v = [0.0] * 8
+                v[base] = 1.0
+                v[(base + 2) % 8] = 0.001 * j  # tiny perturbation
+                rows.append((i + j, v))
+        rows.append((99, [1.0] * 8))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_groups_resolve_min_id_survivor(self, spark):
+        from embulk_input_marketo_spark.functions.similarity import (
+            semantic_dedup,
+        )
+
+        # n_cells=1: assignment is trivial, so the test pins the
+        # pair->component->survivor semantics independent of the draw
+        out = semantic_dedup(
+            self._planted(spark), n_cells=1, threshold=0.99
+        ).collect()
+        got = {r["vec_id"]: (r["component_id"], r["keep"]) for r in out}
+        assert got == {
+            0: (0, True), 1: (0, False), 2: (0, False),
+            10: (10, True), 11: (10, False), 12: (10, False),
+            99: (99, True),
+        }
+
+    def test_pairs_respect_cell_boundary(self, spark):
+        from embulk_input_marketo_spark.functions.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        # force the two cluster axes into DIFFERENT cells by passing
+        # explicit centroids: identical vectors in different cells must
+        # never pair, whatever their cosine
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0] + [0.0] * 6), (1, [0.0, 1.0] + [0.0] * 6)],
+            "cell_id int, centroid array<double>",
+        )
+        pairs = semantic_dedup_pairs(
+            self._planted(spark), threshold=0.99, centroids=cents
+        ).collect()
+        ids = {(r["left_id"], r["right_id"]) for r in pairs}
+        # within-cluster pairs only; 99 assigns to one cell but pairs with
+        # neither tight cluster at 0.99
+        assert ids == {(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)}
+
+    def test_rounded_argmax_breaks_ties_to_larger_cell(self, spark):
+        from embulk_input_marketo_spark.functions.similarity import (
+            assign_cells,
+        )
+
+        # two IDENTICAL centroids in cells 0 and 1: rounded scores tie
+        # exactly, struct-max picks the larger cell id (the documented,
+        # oracle-replayable rule: ORDER BY s DESC, cell_id DESC)
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+            "cell_id int, centroid array<double>",
+        )
+        df = spark.createDataFrame(
+            [(7, [0.6, 0.8])], "vec_id long, embedding array<double>"
+        )
+        got = assign_cells(df, cents, round_scores=6).collect()[0]["_cell"]
+        assert got == 1

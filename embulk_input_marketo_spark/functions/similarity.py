@@ -554,16 +554,41 @@ def semantic_dedup_pairs(
     ).select(
         F.col(id_col), F.col(vec_col), "_cell"
     )
+    # Hoist each row's norm OUT of the pair loop: cosine recomputed per pair
+    # would re-run two interpreted O(dim) norm folds on every candidate pair
+    # (and CollapseProject would inline any upstream projection into every
+    # lambda reference — measured 24-37 s vs ~4 s at bench shape). sqrt of a
+    # row's dot(v,v) is the same double whether computed here or per-pair,
+    # so the oracle's ROUND(dot/(sqrt·sqrt), 6) stays bit-identical. The
+    # repartition on the cell id is both the materialization barrier that
+    # stops re-inlining AND the single shuffle the pair join reuses on both
+    # sides (ReusedExchange).
+    cells = cells.withColumn("_nrm", _norm(F.col(vec_col))).repartition(
+        F.col("_cell")
+    )
     a = cells.select(
-        F.col(id_col).alias("left_id"), F.col(vec_col).alias("_vl"), "_cell"
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("_vl"),
+        F.col("_nrm").alias("_nl"),
+        "_cell",
     )
     b = cells.select(
-        F.col(id_col).alias("right_id"), F.col(vec_col).alias("_vr"), "_cell"
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("_vr"),
+        F.col("_nrm").alias("_nr"),
+        "_cell",
     )
     return (
         a.join(b, "_cell")
         .where(F.col("left_id") < F.col("right_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_vl"), F.col("_vr")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("_vl"), F.col("_vr"))
+                / (F.col("_nl") * F.col("_nr")),
+                6,
+            ),
+        )
         .where(F.col("cos_sim") >= F.lit(threshold))
         .select("left_id", "right_id", "cos_sim")
     )

@@ -2335,7 +2335,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     emb = base.unionByName(planted)
-    return similarity.semantic_dedup(emb, n_cells=8, threshold=0.95)
+    # n_cells is SemDeDup's own scale knob (clusters stay small as the
+    # corpus grows — the paper runs k=50k on 5B docs); 32 cells over ~2k
+    # vectors keeps the within-cell pair expansion bounded AND spreads the
+    # pair join across tasks (8 cells over 8 shuffle partitions would put
+    # the biggest cell's whole pair loop in one task).
+    return similarity.semantic_dedup(emb, n_cells=32, threshold=0.95)
 
 
 def _sql_semantic_dedup() -> str:
@@ -2352,7 +2357,7 @@ def _sql_semantic_dedup() -> str:
                AS cell_id,
              v AS centroid
       FROM e
-      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 32
     ), scored AS (
       SELECT e.vec_id, e.v, c.cell_id,
              ROUND(list_dot_product(e.v, c.centroid)

@@ -120,6 +120,71 @@ def train_ivf(
     ).select("cell_id", "centroid")
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 2,
+    round_means: int | None = 6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd iterations over an initial centroid table — the
+    maintenance job :func:`train_ivf` / :func:`md5_centroids` defer to
+    ("periodically re-train, swap the centroid table"). Each iteration:
+
+    1. assign every vector to its best cell (:func:`assign_cells` —
+       broadcast packed centroids, per-row argmax, NO shuffle);
+    2. per-cell elementwise mean via ``posexplode → groupBy(cell, pos)``:
+       the shuffle carries only ``(cell, pos, partial sum/count)`` scalars
+       after map-side combine — O(partitions × cells × dim), never the
+       vectors themselves;
+    3. reassemble means into centroid arrays (``array_sort(collect_list)``
+       on (pos, mean) structs — order restored deterministically), cells
+       that lost every member keep their previous centroid.
+
+    ``round_means`` rounds each mean before the next assignment so an
+    external system (the DuckDB oracle) replays the identical trajectory:
+    raw double means differ across engines only at ~1e-15 relative (the
+    summation-order ulp), far inside a 1e-6 grid. Assignment itself uses
+    the same ``round_scores=6`` argmax as :func:`semantic_dedup_pairs`.
+
+    At 100 TB each iteration is one pass over the table (the paper-standard
+    practice is refining over a uniform SAMPLE — pass ``embeddings.sample``
+    in); plan size stays O(1) in n_cells via the packed broadcast."""
+    cur = centroids
+    for _ in range(n_iters):
+        assigned = assign_cells(
+            embeddings, cur, vec_col=vec_col, round_scores=6
+        )
+        mean_col = F.avg("_val").alias("_m")
+        means = (
+            assigned.select(
+                "_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_val")
+            )
+            .groupBy("_cell", "_pos")
+            .agg(mean_col)
+            .groupBy("_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: (
+                        F.round(s["_m"], round_means)
+                        if round_means is not None
+                        else s["_m"]
+                    ),
+                ).alias("_new")
+            )
+            .select(F.col("_cell").alias("cell_id"), "_new")
+        )
+        cur = (
+            cur.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias("centroid"),
+            )
+        )
+    return cur
+
+
 def _cells_pack(centroids: DataFrame):
     """Collapse the centroid table to ONE broadcast row carrying an array of
     (cell_id, centroid) structs — centroids travel as broadcast DATA, so the

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from embulk_input_marketo_spark.functions import similarity, textops
-from embulk_input_marketo_spark.operators import dedup_docs, sanitize
+from embulk_input_marketo_spark.operators import dedup_docs, sanitize, shards
 from embulk_input_marketo_spark.operators.dedup import lww_dedup
 from embulk_input_marketo_spark.operators.windows import bounded_scan
 
@@ -1124,6 +1124,164 @@ def _sql_ivf_topk() -> str:
     )
     SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= 5
+    """
+
+
+def q_kmeans_refine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations over the md5 centroid draw, then per-cell
+    membership counts + refined-centroid norms — the IVF/SemDeDup
+    "re-train offline, swap the centroid table" maintenance job, value-
+    checked end to end: the oracle replays BOTH iterations (assignment
+    argmax, per-position means, empty-cell carry-over) in SQL, so a drift
+    in any step of the k-means trajectory flips the hash."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = similarity.kmeans_refine(
+        emb, similarity.md5_centroids(emb, n_cells=8), n_iters=2
+    )
+    counts = (
+        similarity.assign_cells(emb, cents, round_scores=6)
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return (
+        cents.join(counts, cents.cell_id == counts._cell, "left")
+        .select(
+            "cell_id",
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+            F.round(similarity._norm(F.col("centroid")), 6).alias(
+                "centroid_norm"
+            ),
+        )
+    )
+
+
+def _sql_kmeans_refine_stats() -> str:
+    # one Lloyd iteration as a SQL macro-expansion: assignment (rounded
+    # argmax, ties to the larger cell), per-position means over the
+    # 1-indexed 64-dim vectors, rounded to the same 1e-6 grid the Spark
+    # side uses, empty cells inheriting the previous centroid
+    def _iter(prev: str, out: str) -> str:
+        return f"""
+    s_{out} AS (
+      SELECT e.vec_id, e.v, c.cell_id,
+             ROUND(list_dot_product(e.v, c.centroid)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+               AS s
+      FROM e CROSS JOIN {prev} c
+    ), a_{out} AS (
+      SELECT vec_id, v, cell_id FROM s_{out}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cell_id DESC) = 1
+    ), mp_{out} AS (
+      SELECT cell_id, i AS pos, AVG(v[i]) AS m
+      FROM a_{out}, range(1, 65) t(i)
+      GROUP BY cell_id, i
+    ), m_{out} AS (
+      SELECT cell_id, list(ROUND(m, 6) ORDER BY pos) AS centroid
+      FROM mp_{out} GROUP BY cell_id
+    ), {out} AS (
+      SELECT p.cell_id, COALESCE(m.centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN m_{out} m USING (cell_id)
+    )"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                  - 1 AS INT) AS cell_id,
+             v AS centroid
+      FROM e
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8
+    ),{_iter("c0", "c1")},{_iter("c1", "c2")},
+    s_f AS (
+      SELECT e.vec_id, c.cell_id,
+             ROUND(list_dot_product(e.v, c.centroid)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+               AS s
+      FROM e CROSS JOIN c2 c
+    ), a_f AS (
+      SELECT vec_id, cell_id FROM s_f
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cell_id DESC) = 1
+    ), cnt AS (SELECT cell_id, COUNT(*) AS n FROM a_f GROUP BY cell_id)
+    SELECT c2.cell_id,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_members,
+           ROUND(sqrt(list_dot_product(c2.centroid, c2.centroid)), 6)
+             AS centroid_norm
+    FROM c2 LEFT JOIN cnt USING (cell_id)
+    """
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment over the corpus (the md5
+    draw scaled to 16 shards) + per-shard doc/token totals — the loader-
+    facing manifest body of :mod:`operators.shards`. The oracle replays
+    the identical draw, so shard membership itself is value-checked, not
+    just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return shards.shard_stats(docs, n_shards=16, seed=7).select(
+        "shard_id", "n_docs", "n_tokens"
+    )
+
+
+def _sql_training_shards() -> str:
+    return r"""
+    WITH a AS (
+      SELECT CAST(floor(
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'),
+                                    1, 8)) AS BIGINT)
+               / 4294967296.0 * 16) AS INT) AS shard_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM a GROUP BY shard_id
+    """
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (exact continuous
+    quantiles of the whitespace token count) — the profiling query behind
+    every length-filter threshold choice. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation definition,
+    so values match on the 1e-6 grid. Scale note: EXACT percentile sorts
+    each group's values in one task — lang groups are fine (bounded
+    cardinality each side); for open-ended group keys switch to
+    ``approx_percentile`` and widen the oracle to a tolerance check."""
+    d = _t(spark, sf_dir, "documents")
+    n = textops.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.percentile(n, p), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ],
+    )
+
+
+def _sql_corpus_quantiles() -> str:
+    return r"""
+    WITH a AS (
+      SELECT lang,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_tokens, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_tokens, 0.50), 6) AS p50,
+           ROUND(quantile_cont(n_tokens, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95
+    FROM a GROUP BY lang
     """
 
 
@@ -2426,6 +2584,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_topk_indexed": q_ann_topk_indexed,
     "ivf_topk": q_ivf_topk,
+    "kmeans_refine_stats": q_kmeans_refine_stats,
+    "training_shards": q_training_shards,
+    "corpus_quantiles": q_corpus_quantiles,
     "video_frame_sample": q_video_frame_sample,
     "image_resize": q_image_resize,
     "fingerprint_groups": q_fingerprints,
@@ -2492,6 +2653,9 @@ ORACLES: dict[str, str] = {
     # IVF's oracle is the exact brute-force top-k over the planted-cluster
     # fixture — recall 1.0 while probing only 2 of 8 cells
     "ivf_topk": _sql_ivf_topk(),
+    "kmeans_refine_stats": _sql_kmeans_refine_stats(),
+    "training_shards": _sql_training_shards(),
+    "corpus_quantiles": _sql_corpus_quantiles(),
     "video_frame_sample": _sql_video_frame_sample(),
     "image_resize": _sql_image_resize(),
     "fingerprint_groups": _sql_fingerprints(),

@@ -407,3 +407,138 @@ class TestSemanticDedup:
         )
         got = assign_cells(df, cents, round_scores=6).collect()[0]["_cell"]
         assert got == 1
+
+
+class TestKMeansRefine:
+    """Lloyd refinement over a centroid table: convergence to the exact
+    cluster means on separated clusters, and the empty-cell carry-over
+    rule. Cross-engine trajectory exactness (rounded means, rounded
+    argmax) is the `kmeans_refine_stats` oracle's job."""
+
+    def _two_clusters(self, spark):
+        # 4 points around (1,0) and 4 around (0,1), displaced +-0.1 along
+        # the other axis so the per-cluster mean is exactly the axis point
+        rows = []
+        for i, (x, y) in enumerate([(1.0, -0.1), (1.0, 0.1)] * 2):
+            rows.append((i, [x, y]))
+        for i, (x, y) in enumerate([(-0.1, 1.0), (0.1, 1.0)] * 2):
+            rows.append((10 + i, [x, y]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_converges_to_cluster_means(self, spark):
+        from embulk_input_marketo_spark.functions.similarity import (
+            kmeans_refine,
+        )
+
+        # init each centroid at one (off-mean) member of its cluster
+        cents = spark.createDataFrame(
+            [(0, [1.0, -0.1]), (1, [-0.1, 1.0])],
+            "cell_id int, centroid array<double>",
+        )
+        out = kmeans_refine(
+            self._two_clusters(spark), cents, n_iters=1
+        ).collect()
+        got = {r["cell_id"]: r["centroid"] for r in out}
+        assert got == {0: [1.0, 0.0], 1: [0.0, 1.0]}
+        # a second iteration is a fixed point
+        out2 = kmeans_refine(
+            self._two_clusters(spark), cents, n_iters=2
+        ).collect()
+        assert {r["cell_id"]: r["centroid"] for r in out2} == got
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from embulk_input_marketo_spark.functions.similarity import (
+            kmeans_refine,
+        )
+
+        # cells 0 and 1 share an IDENTICAL centroid: every assignment ties
+        # and the rounded argmax routes ALL rows to the larger cell id, so
+        # cell 0 goes empty and must carry its previous centroid forward
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+            "cell_id int, centroid array<double>",
+        )
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.2]), (2, [1.0, -0.2])],
+            "vec_id long, embedding array<double>",
+        )
+        out = kmeans_refine(df, cents, n_iters=1).collect()
+        got = {r["cell_id"]: r["centroid"] for r in out}
+        assert got[0] == [1.0, 0.0]
+        assert got[1] == [1.0, 0.0]  # mean of the two members
+
+
+class TestTrainingShards:
+    """Shard writer sink: deterministic assignment, round-trip manifest
+    verification, partition pruning for per-rank reads. Cross-engine
+    assignment exactness is the `training_shards` oracle's job."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"doc {i} body word{i % 3}") for i in range(200)],
+            "doc_id long, text string",
+        )
+
+    def test_assignment_stable_under_subsetting(self, spark):
+        from embulk_input_marketo_spark.operators.shards import assign_shards
+
+        full = {
+            r["doc_id"]: r["shard_id"]
+            for r in assign_shards(self._docs(spark), 8).collect()
+        }
+        sub = {
+            r["doc_id"]: r["shard_id"]
+            for r in assign_shards(
+                self._docs(spark).where("doc_id % 2 = 0"), 8
+            ).collect()
+        }
+        assert sub == {k: v for k, v in full.items() if k % 2 == 0}
+        assert set(full.values()) <= set(range(8))
+
+    def test_roundtrip_verifies_and_tamper_detected(self, spark, tmp_path):
+        import glob
+        import os
+
+        from embulk_input_marketo_spark.operators.shards import (
+            read_training_shards,
+            verify_shards,
+            write_training_shards,
+        )
+
+        path = str(tmp_path / "shards")
+        manifest = write_training_shards(self._docs(spark), path, 8)
+        assert sorted(int(k) for k in manifest["shards"]) == sorted(
+            {int(k) for k in manifest["shards"]}
+        )
+        assert sum(v["n_docs"] for v in manifest["shards"].values()) == 200
+        ok = verify_shards(spark, path)
+        assert all(r["ok"] for r in ok.collect())
+        # round-trip content identity
+        df, _ = read_training_shards(spark, path)
+        assert df.count() == 200
+        # tamper: drop one shard's files -> that shard flags, others hold
+        victim = sorted(manifest["shards"])[0]
+        for f in glob.glob(os.path.join(path, f"shard_id={victim}", "*")):
+            os.remove(f)
+        flags = {
+            r["shard_id"]: bool(r["ok"]) if r["ok"] is not None else False
+            for r in verify_shards(spark, path).collect()
+        }
+        assert flags[int(victim)] is False
+        assert all(v for k, v in flags.items() if k != int(victim))
+
+    def test_shard_id_read_prunes_partitions(self, spark, tmp_path):
+        from embulk_input_marketo_spark.operators.shards import (
+            read_training_shards,
+            write_training_shards,
+        )
+
+        path = str(tmp_path / "shards")
+        write_training_shards(self._docs(spark), path, 8)
+        df, _ = read_training_shards(spark, path, shard_ids=[3])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # partition filter present and only shard 3's rows survive
+        assert all(r["shard_id"] == 3 for r in df.collect())
+        assert "shard_id" in plan

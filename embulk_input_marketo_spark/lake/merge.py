@@ -57,6 +57,7 @@ class MergeResult:
     touched_buckets: int
     compacted_buckets: int = 0
     rows_null_key: int = 0
+    staged: bool = False  # write-audit-publish: durable but not visible
 
 
 def _entry_id(e) -> str:
@@ -153,6 +154,7 @@ def merge_batch(
     window: tuple[int, int] | None = None,
     channel: tuple[str, int] | None = None,
     lineage: dict[str, Any] | None = None,
+    publish: bool = True,
 ) -> MergeResult:
     """Apply a LWW-deduped CDC batch (one row per key) to the table.
 
@@ -215,7 +217,7 @@ def merge_batch(
     if mode == "cow":
         return _merge_cow(
             spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
-            checkpoint, window, channel, lineage,
+            checkpoint, window, channel, lineage, publish,
         )
 
     # ---- merge-on-read: ONE Spark job, ONE shuffle per batch --------------
@@ -271,7 +273,8 @@ def merge_batch(
         )
 
     new_files = _enumerate_bucket_files(
-        staging, m.schema_version, new_version, reduced=pre_reduce
+        staging, m.schema_version, new_version, reduced=pre_reduce,
+        stats_col=m.key_col,
     )
     touched = sorted(int(b) for b in new_files)
     # metadata delta: only the touched buckets' lists are rebuilt (loading
@@ -307,7 +310,16 @@ def merge_batch(
         },
         committed_at=time.time(),
     )
-    table._write_manifest(nm)
+    if not publish:
+        # write-audit-publish: durable and auditable (table.read_staged),
+        # invisible until table.publish_staged(batch_id); no auto-compaction
+        # until it is on the chain
+        table.write_staged(batch_id, nm)
+        return MergeResult(
+            True, nm.version, rows_in, rows_in - rows_deleted, rows_deleted,
+            len(touched), rows_null_key=rows_null_key, staged=True,
+        )
+    table.commit(nm, staging)
 
     # auto-compaction: buckets past the read-amplification bound get folded
     # in a follow-up commit (idempotent rewrite — crashing between the two
@@ -326,7 +338,7 @@ def merge_batch(
 
 def _merge_cow(
     spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
-    checkpoint, window, channel, lineage,
+    checkpoint, window, channel, lineage, publish=True,
 ) -> MergeResult:
     """Copy-on-write path: every touched bucket folds each commit. Null-key
     rows are counted from the same stats collect and dropped (see
@@ -373,7 +385,8 @@ def _merge_cow(
             .parquet(staging)
         )
         new_files = _enumerate_bucket_files(
-            staging, m.schema_version, new_version, reduced=True
+            staging, m.schema_version, new_version, reduced=True,
+            stats_col=m.key_col,
         )
         files = m.files.with_updates(
             {str(b): new_files.get(str(b), []) for b in touched}
@@ -405,11 +418,14 @@ def _merge_cow(
             },
             committed_at=time.time(),
         )
-        table._write_manifest(nm)
+        if publish:
+            table.commit(nm, staging)
+        else:
+            table.write_staged(batch_id, nm)
         return MergeResult(
             True, new_version, rows_in, rows_in - rows_deleted, rows_deleted,
             len(touched), compacted_buckets=len(touched),
-            rows_null_key=rows_null_key,
+            rows_null_key=rows_null_key, staged=not publish,
         )
     finally:
         batch_full.unpersist()
@@ -479,7 +495,8 @@ def compact_buckets(
         .parquet(staging)
     )
     new_files = _enumerate_bucket_files(
-        staging, m.schema_version, new_version, reduced=True
+        staging, m.schema_version, new_version, reduced=True,
+        stats_col=m.key_col,
     )
     files = m.files.with_updates(
         {str(b): new_files.get(str(b), []) for b in buckets}
@@ -499,7 +516,7 @@ def compact_buckets(
         summary={"operation": "compact", "buckets": [int(b) for b in buckets]},
         committed_at=time.time(),
     )
-    table._write_manifest(nm)
+    table.commit(nm, staging)
     return new_version
 
 
@@ -536,7 +553,8 @@ def vacuum_tombstones(
 
     files = FileSet.replace_all(
         table.meta_dir,
-        _enumerate_bucket_files(staging, m.schema_version, new_version, reduced=True),
+        _enumerate_bucket_files(staging, m.schema_version, new_version,
+                                reduced=True, stats_col=m.key_col),
     )
     nm = Manifest(
         version=new_version,
@@ -553,18 +571,64 @@ def vacuum_tombstones(
         summary={"operation": "vacuum_tombstones", "watermark": str(watermark_major)},
         committed_at=time.time(),
     )
-    table._write_manifest(nm)
+    table.commit(nm, staging)
     return new_version
 
 
+def _file_key_stats(path: str, col: str):
+    """Per-FILE (min, max) of the merge key, read from the parquet footer
+    the commit just wrote — Iceberg's write-time column stats. Parquet
+    writers may TRUNCATE string stats, but the spec keeps them conservative
+    (min is a prefix ≤ the true min; max has its last byte incremented ≥
+    the true max), so a range check against them can only over-include,
+    never skip a file that holds the key. Returns None (no stats recorded)
+    on any doubt — missing stats merely cost the skip."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: list = []
+        maxs: list = []
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = None
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col:
+                    st = c.statistics
+                    break
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:
+            return None
+        lo, hi = min(mins), max(maxs)
+        if isinstance(lo, bytes) or not isinstance(lo, (str, int, float)):
+            return None  # keep the manifest JSON-portable
+        return lo, hi
+    except Exception:
+        return None
+
+
 def _enumerate_bucket_files(
-    staging: str, sv: int, version: int, reduced: bool = True
+    staging: str,
+    sv: int,
+    version: int,
+    reduced: bool = True,
+    stats_col: str | None = None,
 ) -> dict[str, list[dict]]:
     """List written parquet files per bucket, through the fsio seam (local
     here, Hadoop FileSystem on a cluster — see lake/fsio.py). Each entry
     records the schema version (``sv``) that wrote it and the snapshot
     (``v``) — the read path uses ``v`` to tell single-generation (clean)
     buckets from multi-generation (merge-on-read) ones.
+
+    ``stats_col``: record the column's per-file (kmin, kmax) from the
+    parquet footers this commit just wrote — O(files in THIS commit)
+    footer reads, never O(table); the point-lookup path skips whole files
+    on them without opening anything (on a cluster this loop belongs in
+    the write tasks — the fsio seam again).
 
     Non-integer partition dirs (e.g. Hive's null-partition marker) are
     skipped defensively — the commit must never crash post-write on a stray
@@ -585,8 +649,13 @@ def _enumerate_bucket_files(
             if f.endswith(".parquet")
         ]
         if paths:
-            out[b] = [
-                {"path": p, "sv": sv, "v": version, "reduced": reduced}
-                for p in paths
-            ]
+            entries = []
+            for p in paths:
+                e = {"path": p, "sv": sv, "v": version, "reduced": reduced}
+                if stats_col is not None:
+                    stats = _file_key_stats(p, stats_col)
+                    if stats is not None:
+                        e["kmin"], e["kmax"] = stats
+                entries.append(e)
+            out[b] = entries
     return out

@@ -191,6 +191,35 @@ class Manifest:
         return T.StructType.fromJson(self.schemas[str(self.schema_version)])
 
 
+class PublishConflictError(RuntimeError):
+    """The table advanced since this commit was staged: the staged result
+    (and whatever audit approved it) was computed against a base that no
+    longer exists. Re-run the staged write against the current manifest."""
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer published this snapshot version first. The losing
+    commit changed NOTHING (its manifest never became visible; its staging
+    data was reclaimed if it passed one to :meth:`LakeTable.commit`) —
+    re-read the table state, rebuild the commit against the new base, and
+    try again (:func:`retry_commit`)."""
+
+
+def retry_commit(fn, attempts: int = 3):
+    """Optimistic-concurrency retry loop: ``fn`` must re-read the table's
+    current manifest and perform the FULL commit each call (the standard
+    Iceberg/Delta writer discipline — rebase, don't resubmit). Batch
+    idempotence (``applied_batches``, C7/C8) makes re-running a merge
+    closure safe even when the conflicting winner was the same batch."""
+    last: CommitConflictError | None = None
+    for _ in range(max(int(attempts), 1)):
+        try:
+            return fn()
+        except CommitConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
 class LakeTable:
     def __init__(self, path: str):
         self.path = path
@@ -235,16 +264,21 @@ class LakeTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"snap-{version:012d}.json")
 
-    def _write_manifest(self, m: Manifest) -> None:
+    def _flush_fileset(self, m: Manifest) -> None:
         # flush this commit's metadata DELTA: one side file per touched
         # bucket, durable before the manifest that points at them; untouched
-        # buckets keep their existing pointers (O(touched) metadata writes)
+        # buckets keep their existing pointers (O(touched) metadata writes).
+        # Side-file names carry a per-attempt nonce so two writers racing on
+        # the same version can never clobber each other's bucket lists — the
+        # loser's files become unreferenced garbage (snapshot expiry's
+        # side-file sweep reclaims them), never the winner's pointees.
+        attempt = uuid.uuid4().hex[:8]
         if isinstance(m.files, dict):
             m.files = FileSet(self.meta_dir, pending=m.files)
         if isinstance(m.files, FileSet):
             ptrs = dict(m.files.ptrs)
             for b, entries in m.files.pending.items():
-                name = f"bucket-{m.version:012d}-{b}.json"
+                name = f"bucket-{m.version:012d}-{b}-{attempt}.json"
                 sp = os.path.join(self.meta_dir, name)
                 tmp = sp + f".tmp-{uuid.uuid4().hex}"
                 with open(tmp, "w") as f:
@@ -254,24 +288,146 @@ class LakeTable:
                 os.rename(tmp, sp)
                 ptrs[b] = name
             m.files = FileSet(self.meta_dir, ptrs=ptrs)
+
+    def _write_manifest(self, m: Manifest) -> None:
+        self._flush_fileset(m)
         mp = self._manifest_path(m.version)
         tmp = mp + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(m.to_json())
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, mp)
-        # atomic pointer swap — the commit point
+        # THE commit point: atomic create-if-absent of the version's manifest
+        # (hard link never overwrites — the filesystem arbitrates exactly one
+        # winner per version; Iceberg's compare-and-swap, expressed in POSIX)
+        try:
+            os.link(tmp, mp)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"version {m.version} was committed by another writer "
+                f"(base was {m.parent}); rebase on the current manifest "
+                "and retry"
+            ) from None
+        os.unlink(tmp)
+        self._advance_pointer(m.version)
+
+    def _advance_pointer(self, version: int) -> None:
+        """Refresh the ``_current`` HINT (monotone — never moves backward:
+        a writer stalled between its manifest link and this swap must not
+        regress a pointer a later commit already advanced; the remaining
+        read-modify-write window is closed by ``current_version()`` rolling
+        forward over linked manifests, so a stale hint only costs stats)."""
+        cur_path = os.path.join(self.meta_dir, "_current")
+        if os.path.exists(cur_path):
+            with open(cur_path) as f:
+                if int(f.read().strip()) >= version:
+                    return
         ptr_tmp = os.path.join(self.meta_dir, f"_current.tmp-{uuid.uuid4().hex}")
         with open(ptr_tmp, "w") as f:
-            f.write(str(m.version))
+            f.write(str(version))
             f.flush()
             os.fsync(f.fileno())
-        os.rename(ptr_tmp, os.path.join(self.meta_dir, "_current"))
+        os.rename(ptr_tmp, cur_path)
+
+    def commit(self, m: Manifest, staging: str | None = None) -> None:
+        """Publish a prepared snapshot; on :class:`CommitConflictError` the
+        loser's staged data dir is reclaimed before the error propagates
+        (its next attempt stages fresh under the rebased version)."""
+        from embulk_input_marketo_spark.lake import fsio
+
+        try:
+            self._write_manifest(m)
+        except CommitConflictError:
+            if staging is not None:
+                fsio.remove_dir(staging)
+            raise
+
+    # ------------------------------------------------- write-audit-publish
+    def _staged_path(self, stage_id: str) -> str:
+        return os.path.join(self.meta_dir, f"staged-{stage_id}.json")
+
+    def write_staged(self, stage_id: str, m: Manifest) -> None:
+        """Persist a prepared snapshot OUTSIDE the commit chain — the
+        'write' of write-audit-publish: its data files and bucket side
+        files are durable, but no reader of the table sees them until
+        :meth:`publish_staged` CAS-links the manifest. Overwriting a stage
+        id re-stages it (the id names one logical audit candidate)."""
+        self._flush_fileset(m)
+        sp = self._staged_path(stage_id)
+        tmp = sp + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, sp)
+
+    def staged_manifest(self, stage_id: str) -> Manifest:
+        with open(self._staged_path(stage_id)) as f:
+            return Manifest.from_json(f.read(), self.meta_dir)
+
+    def list_staged(self) -> list[str]:
+        return sorted(
+            n[len("staged-"):-len(".json")]
+            for n in os.listdir(self.meta_dir)
+            if n.startswith("staged-") and n.endswith(".json")
+        )
+
+    def read_staged(self, spark: SparkSession, stage_id: str) -> DataFrame:
+        """The 'audit' read: the table AS IF the staged commit had
+        published — run quality gates (Gopher rules, contamination
+        checks, row-count sanity) against this before exposing the batch
+        to every downstream consumer."""
+        m = self.staged_manifest(stage_id)
+        return self._read_reduced(spark, m, set(m.files))
+
+    def publish_staged(self, stage_id: str) -> Manifest:
+        """The 'publish': fast-forward the staged snapshot onto the commit
+        chain. Sound ONLY when the table has not moved since staging (the
+        staged merge's content depends on its base) — anything else raises
+        :class:`PublishConflictError`; re-stage against the new base. The
+        link itself is the same CAS every commit uses, so racing publishers
+        resolve to exactly one winner."""
+        m = self.staged_manifest(stage_id)
+        cur = self.current_version()
+        if m.parent != cur:
+            raise PublishConflictError(
+                f"staged commit {stage_id!r} was built on version "
+                f"{m.parent} but the table is at {cur}: audit results no "
+                "longer describe what would publish — re-stage"
+            )
+        self._write_manifest(m)  # CommitConflictError on a CAS race
+        os.remove(self._staged_path(stage_id))
+        return m
+
+    def discard_staged(self, stage_id: str) -> None:
+        """Drop a staged commit: its manifest, and the data dirs this
+        stage's files live in (only files it wrote itself — inherited
+        pointers reference OLDER versions' dirs and are untouched)."""
+        from embulk_input_marketo_spark.lake import fsio
+
+        m = self.staged_manifest(stage_id)
+        own_dirs = set()
+        for b in set(m.files):
+            for e in m.files[b]:
+                if int(e.get("v", -1)) == m.version:
+                    own_dirs.add(
+                        os.path.dirname(os.path.dirname(e["path"]))
+                    )
+        os.remove(self._staged_path(stage_id))
+        for d in own_dirs:
+            fsio.remove_dir(d)
 
     def current_version(self) -> int:
+        """The committed frontier. The pointer file is a HINT: the manifest
+        link is the commit point, so roll forward over any manifests a
+        writer linked but did not live to advertise (crash between link and
+        pointer swap) — Delta's 'list past the checkpoint hint' discipline."""
         with open(os.path.join(self.meta_dir, "_current")) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
@@ -309,9 +465,9 @@ class LakeTable:
             F.lit(m.n_buckets),
         ).cast("int")
         bucket = spark.range(1).select(b.alias("b")).collect()[0]["b"]
-        return self.read(spark, version=version, buckets=[bucket]).where(
-            F.col(m.key_col) == key
-        )
+        return self.read(
+            spark, version=version, buckets=[bucket], key_eq=key
+        ).where(F.col(m.key_col) == key)
 
     def changes(
         self,
@@ -522,6 +678,15 @@ class LakeTable:
             except FileNotFoundError:
                 continue
 
+        # staged (write-audit-publish) commits are not on the chain but
+        # their files must survive until published or discarded — fold
+        # them into the live set (their manifests are never expired here)
+        for sid in self.list_staged():
+            try:
+                retained.append(self.staged_manifest(sid))
+            except (FileNotFoundError, KeyError, ValueError):
+                continue
+
         live_side: set[str] = set()
         for m in retained:
             if isinstance(m.files, FileSet):
@@ -537,9 +702,10 @@ class LakeTable:
                 removed["side_files"] += 1
 
         def snap_version(name: str) -> int | None:
+            # both layouts: snap-<version> (legacy) and snap-<version>-<nonce>
             try:
-                return int(name.rsplit("-", 1)[-1])
-            except ValueError:
+                return int(name.split("-")[1])
+            except (IndexError, ValueError):
                 return None
 
         scannable = []
@@ -652,17 +818,35 @@ class LakeTable:
         spark: SparkSession,
         m: Manifest,
         bucket_keys: set[str],
+        key_eq: Any | None = None,
     ) -> DataFrame:
         """Union all file generations of the given buckets, mapped to the
         current schema + internal columns. May contain multiple versions per
-        key (merge-on-read deltas) and tombstones."""
+        key (merge-on-read deltas) and tombstones.
+
+        ``key_eq``: a point-lookup key — file entries whose manifest-recorded
+        (kmin, kmax) range excludes it are SKIPPED before any scan is
+        planned (Iceberg manifest file stats; the stats are written
+        conservatively, so skipping is sound — see merge._file_key_stats).
+        Entries without stats are always read."""
         cur_schema = m.current_schema()
         full_schema = T.StructType(list(cur_schema.fields) + INTERNAL_FIELDS)
+
+        def excluded(e) -> bool:
+            if key_eq is None or "kmin" not in e or "kmax" not in e:
+                return False
+            try:
+                return not (e["kmin"] <= key_eq <= e["kmax"])
+            except TypeError:
+                return False  # incomparable (type drift): read the file
+
         groups: dict[int, list[str]] = {}
         # iterate the REQUESTED buckets only — the FileSet loads (and caches)
         # just those side files, so bucket pruning prunes metadata I/O too
         for b in bucket_keys & set(m.files):
             for e in m.files[b]:
+                if excluded(e):
+                    continue
                 groups.setdefault(int(e["sv"]), []).append(e["path"])
         if not groups:
             return spark.createDataFrame([], full_schema)
@@ -686,8 +870,11 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_internal: bool = False,
+        key_eq: Any | None = None,
     ) -> DataFrame:
-        """Read a snapshot (optionally only some buckets — bucket pruning).
+        """Read a snapshot (optionally only some buckets — bucket pruning;
+        ``key_eq`` additionally skips files whose manifest key range
+        excludes the key — the point-lookup path).
 
         Merge-on-read: buckets holding delta files from several commits are
         LWW-reduced at read time; buckets with a single (already per-key
@@ -697,14 +884,24 @@ class LakeTable:
         ``include_internal``: return the raw multi-generation rows with
         ``_lsn``/``_deleted`` — the merge/compaction path's input. Otherwise
         tombstones are filtered and internal columns dropped."""
-        from embulk_input_marketo_spark.operators.dedup import lww_dedup
-
         m = self.manifest(version)
         wanted = (
             {str(b) for b in buckets} if buckets is not None else set(m.files)
         )
         if include_internal:
-            return self._read_raw(spark, m, wanted)
+            return self._read_raw(spark, m, wanted, key_eq=key_eq)
+        return self._read_reduced(spark, m, wanted, key_eq=key_eq)
+
+    def _read_reduced(
+        self,
+        spark: SparkSession,
+        m: Manifest,
+        wanted: set[str],
+        key_eq: Any | None = None,
+    ) -> DataFrame:
+        """The user-facing read of an arbitrary manifest (committed OR
+        staged): per-bucket MoR reduce where needed, tombstones dropped."""
+        from embulk_input_marketo_spark.operators.dedup import lww_dedup
 
         # a bucket can skip the read-time reduce only if it holds a single
         # generation AND that generation was written per-key-reduced
@@ -716,10 +913,10 @@ class LakeTable:
             and all(e.get("reduced", True) for e in m.files[b])
         } | (wanted - have)
         dirty = wanted - clean
-        out = self._read_raw(spark, m, clean)
+        out = self._read_raw(spark, m, clean, key_eq=key_eq)
         if dirty:
             reduced = lww_dedup(
-                self._read_raw(spark, m, dirty),
+                self._read_raw(spark, m, dirty, key_eq=key_eq),
                 key_cols=m.key_col,
                 order_cols=[m.lww_major, "_lsn"],
             )
@@ -842,7 +1039,15 @@ class LakeTable:
         return dict(self.manifest().checkpoint)
 
     def snapshot_staging_dir(self, version: int) -> str:
-        return os.path.join(self.data_dir, f"snap-{version:012d}")
+        """A FRESH staging dir per call: concurrent writers racing toward
+        the same version stage disjoint directories (Iceberg's unique data
+        file names), so the winner's committed files can never be shredded
+        by a loser's ``mode(overwrite)`` write. A losing/crashed attempt's
+        dir is reclaimed by :meth:`commit`'s conflict path or, eventually,
+        by the snapshot-expiry orphan scan."""
+        return os.path.join(
+            self.data_dir, f"snap-{version:012d}-{uuid.uuid4().hex[:8]}"
+        )
 
 
 def _parse_type(name: str) -> T.DataType:

@@ -251,7 +251,14 @@ def test_empty_batch_leaves_no_orphan_staging(spark, tmp_path):
     r = merge_batch(spark, table, empty, batch_id="b_empty")
     assert not r.applied
     assert table.current_version() == v0
-    assert not os.path.exists(table.snapshot_staging_dir(v0 + 1))
+    # staging dirs are unique-per-attempt (snap-<v>-<nonce>): assert NO
+    # attempt dir for v0+1 survived, not just one specific name
+    import glob
+
+    leftovers = glob.glob(
+        os.path.join(table.data_dir, f"snap-{v0 + 1:012d}*")
+    )
+    assert leftovers == []
 
 
 # --------------------------------------------------------- streaming identity

@@ -701,3 +701,69 @@ class TestSimhashNumpyBackend:
         np_ = {r["doc_id"]: r["simhash"]
                for r in simhash(docs, accel="np").collect()}
         assert ex == np_
+
+
+class TestManifestFileStats:
+    """Write-time per-file key ranges in the manifest (Iceberg column
+    stats): the point-lookup path skips whole FILES before planning any
+    scan — on top of bucket pruning, which can't help inside one bucket."""
+
+    def test_lookup_skips_files_by_key_range(self, spark, tmp_path):
+        # n_buckets=1: bucket pruning is moot, only file stats can prune.
+        # Two MoR generations with DISJOINT key ranges land as two files.
+        table = LakeTable.create(
+            str(tmp_path / "t"), SCHEMA, key_col="url",
+            lww_major="warc_ts", n_buckets=1,
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"a{i}", i, i, "U", i) for i in range(5)]),
+            batch_id="lo", lsn_col="lsn", compact_threshold=100,
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"z{i}", 50 + i, 50 + i, "U", 50 + i)
+                           for i in range(5)]),
+            batch_id="hi", lsn_col="lsn", compact_threshold=100,
+        )
+        entries = table.manifest().files["0"]
+        assert len(entries) == 2
+        assert all("kmin" in e and "kmax" in e for e in entries)
+
+        got = table.lookup(spark, "a3")
+        assert [(r["url"], r["value"]) for r in got.collect()] == [
+            ("a3", 3.0)
+        ]
+        # the z-range file is skipped at PLANNING time
+        assert len(got.inputFiles()) == 1
+        # a full read still sees both files
+        assert len(table.read(spark).inputFiles()) == 2
+        # a key outside every range reads nothing at all
+        assert table.lookup(spark, "m5").count() == 0
+        assert len(table.lookup(spark, "m5").inputFiles()) == 0
+
+    def test_lookup_correct_when_key_updated_across_generations(
+        self, spark, tmp_path
+    ):
+        # LWW across generations must survive the skip: both files contain
+        # the key, so neither may be skipped and the newer row wins
+        table = LakeTable.create(
+            str(tmp_path / "t2"), SCHEMA, key_col="url",
+            lww_major="warc_ts", n_buckets=1,
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [("k1", 1, 1, "U", 1), ("k9", 2, 2, "U", 2)]),
+            batch_id="g1", lsn_col="lsn", compact_threshold=100,
+        )
+        merge_batch(
+            spark, table,
+            _batch(spark, [("k5", 10, 99, "U", 10)]),
+            batch_id="g2", lsn_col="lsn", compact_threshold=100,
+        )
+        # k5 only exists in generation 2 (range k5..k5): gen-1 file
+        # (k1..k9) still COVERS k5, so it is read and LWW still holds
+        assert [(r["url"], r["value"])
+                for r in table.lookup(spark, "k5").collect()] == [
+            ("k5", 99.0)
+        ]

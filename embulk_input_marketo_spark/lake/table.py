@@ -445,6 +445,66 @@ class LakeTable:
                 continue
         return out
 
+    def restore(self, version: int) -> Manifest:
+        """Roll the table back to an earlier snapshot as a NEW commit
+        (Delta RESTORE / Iceberg rollback-to-snapshot): the restore manifest
+        re-points every bucket at the target snapshot's file lists, so no
+        data moves and the rolled-back history stays time-travelable until
+        ``expire_snapshots`` drops it. Restores the WHOLE table state —
+        schema chain, applied-batch idempotence ledger, and the replay
+        checkpoint (hwm) — so a replay resumed after the restore re-ingests
+        exactly the rolled-back changelog suffix and converges to the
+        pre-restore state (tested).
+
+        Goes through the same manifest CAS as every commit, so it composes
+        with concurrent writers: a restore racing a merge loses (or wins)
+        atomically and the loser rebases.
+
+        The reference plugin has no table to roll back (each run re-pulls a
+        window); this is the lake-side primitive that replaces "re-run the
+        import with an older since-time" (MarketoInputPlugin's ConfigDiff
+        rewind) with an O(buckets-metadata) commit."""
+        target = self.manifest(version)
+
+        def attempt() -> Manifest:
+            base = self.manifest()
+            if base.version == target.version:
+                return base  # restoring to the frontier: nothing to do
+            tf = target.files
+            if isinstance(tf, FileSet):
+                files = FileSet(
+                    self.meta_dir,
+                    ptrs=dict(tf.ptrs),
+                    pending={b: list(es) for b, es in tf.pending.items()},
+                )
+            else:  # ad-hoc dict construction (tests)
+                files = FileSet(
+                    self.meta_dir,
+                    pending={b: list(es) for b, es in tf.items()},
+                )
+            m = Manifest(
+                version=base.version + 1,
+                parent=base.version,
+                key_col=target.key_col,
+                lww_major=target.lww_major,
+                n_buckets=target.n_buckets,
+                schema_version=target.schema_version,
+                schemas=dict(target.schemas),
+                renames=[dict(r) for r in target.renames],
+                files=files,
+                applied_batches=list(target.applied_batches),
+                checkpoint=dict(target.checkpoint),
+                summary={
+                    "operation": "restore",
+                    "restored_from": target.version,
+                },
+                committed_at=time.time(),
+            )
+            self.commit(m)
+            return m
+
+        return retry_commit(attempt)
+
     def lookup(
         self,
         spark: SparkSession,

@@ -295,6 +295,67 @@ def _sql_cdc_changes_preimage() -> str:
     """
 
 
+def q_time_travel_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (Delta RESTORE / Iceberg rollback): replay the lsn ≤ 5000
+    changelog prefix (v1), replay to the end (v2), then ``restore(v1)`` —
+    a metadata-only commit that re-points every bucket at v1's file lists —
+    and read the table. Oracle: the LWW state over the prefix alone; the
+    rolled-back suffix must leave no trace. The checkpoint rolls back with
+    the data, so a resumed replay re-ingests exactly the suffix (pytest
+    asserts the convergence half)."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_restore_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    replay(spark, log.where(F.col("lsn") <= 5000), table, n_slices=1)
+    v1 = table.current_version()
+    replay(spark, log, table, n_slices=1)
+    table.restore(v1)
+    return table.read(spark).select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").alias("ts"),
+        "value",
+        "props",
+    )
+
+
+def _sql_time_travel_restore() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS user_id, ts, value, props
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log WHERE lsn <= 5000
+    )
+    SELECT user_id, ts, value, props FROM latest WHERE rn = 1 AND op <> 'D'
+    """
+
+
 def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LWW reducer alone (salted two-phase) — latest event per user."""
     ev = _t(spark, sf_dir, "events")
@@ -2420,6 +2481,64 @@ def _sql_cdf_incremental_agg() -> str:
     """
 
 
+def q_cdf_follower_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-feed FOLLOWER: a persistent exactly-once CDF consumer.
+    The changelog replays in three installments; between installments the
+    follower polls the feed and folds the signed delta into a rollup
+    persisted in its own state dir (position committed atomically with the
+    rollup bytes — the streaming-CDF-source + checkpoint shape). The first
+    maintain bootstraps from the base snapshot; the base table is never
+    re-read afterwards. Oracle: full recompute of the final rollup from the
+    raw events — a lost, doubled, or mis-signed slice anywhere across the
+    three maintains lands as a value mismatch."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.lake.follow import ChangeFeedFollower
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_follow_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    follower = ChangeFeedFollower(
+        table,
+        f"{path}/follower_state",
+        group_exprs=[(F.col("url").cast("long") % 16).alias("grp")],
+        group_names=["grp"],
+        measure=F.coalesce(
+            F.floor(F.col("value") * 1000).cast("long"), F.lit(0)
+        ),
+    )
+    replay(spark, log.where(F.col("lsn") <= 3000), table, n_slices=1)
+    follower.maintain(spark)  # bootstrap from the v1 snapshot
+    replay(spark, log.where(F.col("lsn") <= 6500), table, n_slices=1)
+    follower.maintain(spark)  # fold slice (v1, v2]
+    replay(spark, log, table, n_slices=1)
+    follower.maintain(spark)  # fold slice (v2, v3]
+    return follower.rollup(spark).orderBy("grp")
+
+
+def _sql_cdf_follower_agg() -> str:
+    # identical final state to cdf_incremental_agg: the follower's three
+    # maintains must land exactly where one full recompute does
+    return _sql_cdf_incremental_agg()
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist filtering: per-doc URLs (synthesized from doc_id)
     canonicalized through urlops, host extracted, then a BROADCAST
@@ -2604,6 +2723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents_split": q_pack_documents_split,
     "cdc_changes_feed": q_cdc_changes_feed,
     "cdc_changes_preimage": q_cdc_changes_preimage,
+    "time_travel_restore": q_time_travel_restore,
     "token_frequency_stats": q_token_frequency_stats,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
@@ -2615,6 +2735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply": q_dedup_apply,
     "domain_blocklist": q_domain_blocklist,
     "cdf_incremental_agg": q_cdf_incremental_agg,
+    "cdf_follower_agg": q_cdf_follower_agg,
     "zorder_layout": q_zorder_layout,
     "semantic_dedup": q_semantic_dedup,
 }
@@ -2676,6 +2797,7 @@ ORACLES: dict[str, str] = {
     "pack_documents_split": _sql_pack_documents(),
     "cdc_changes_feed": _sql_cdc_changes_feed(),
     "cdc_changes_preimage": _sql_cdc_changes_preimage(),
+    "time_travel_restore": _sql_time_travel_restore(),
     "token_frequency_stats": _sql_token_frequency_stats(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),
@@ -2687,6 +2809,7 @@ ORACLES: dict[str, str] = {
     "dedup_apply": _sql_dedup_apply(),
     "domain_blocklist": _sql_domain_blocklist(),
     "cdf_incremental_agg": _sql_cdf_incremental_agg(),
+    "cdf_follower_agg": _sql_cdf_follower_agg(),
     "zorder_layout": _sql_zorder_layout(),
     "semantic_dedup": _sql_semantic_dedup(),
 }

@@ -66,6 +66,9 @@ HEADLINE = [
     "corpus_mix",
     "dedup_apply",
     "cdf_incremental_agg",
+    "cdf_follower_agg",
+    "time_travel_restore",
+    "time_window_scan",
     "zorder_layout",
     "semantic_dedup",
 ]

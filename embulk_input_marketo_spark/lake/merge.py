@@ -64,6 +64,20 @@ def _entry_id(e) -> str:
     return e["id"] if isinstance(e, dict) else e
 
 
+def _ensure_stats_friendly_writes(spark: SparkSession) -> None:
+    """Engine sessions (session.get_spark) already write INT64-micros
+    timestamps; a FOREIGN session may still default to legacy INT96, whose
+    parquet footers carry no min/max — which would silently cost every
+    commit its (tmin, tmax) time-skipping stats. Dynamic SQL conf, safe to
+    set repeatedly; existing INT96 files remain readable."""
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    except Exception:
+        pass  # conf locked down: stats degrade conservatively, reads stay correct
+
+
 def _already_applied(
     m: Manifest,
     batch_id: str,
@@ -245,6 +259,7 @@ def merge_batch(
         )
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
+    _ensure_stats_friendly_writes(spark)
     (
         to_write.repartition(F.col("_b"))
         .write.mode("overwrite")
@@ -274,7 +289,7 @@ def merge_batch(
 
     new_files = _enumerate_bucket_files(
         staging, m.schema_version, new_version, reduced=pre_reduce,
-        stats_col=m.key_col,
+        stats_col=m.key_col, major_col=m.lww_major,
     )
     touched = sorted(int(b) for b in new_files)
     # metadata delta: only the touched buckets' lists are rebuilt (loading
@@ -376,6 +391,7 @@ def _merge_cow(
         )
         new_version = m.version + 1
         staging = table.snapshot_staging_dir(new_version)
+        _ensure_stats_friendly_writes(spark)
         (
             # key-sorted for parquet min/max skipping (see compact_buckets)
             merged.repartition(max(len(touched), 1), F.col("_b"))
@@ -386,7 +402,7 @@ def _merge_cow(
         )
         new_files = _enumerate_bucket_files(
             staging, m.schema_version, new_version, reduced=True,
-            stats_col=m.key_col,
+            stats_col=m.key_col, major_col=m.lww_major,
         )
         files = m.files.with_updates(
             {str(b): new_files.get(str(b), []) for b in touched}
@@ -480,6 +496,7 @@ def compact_buckets(
     )
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
+    _ensure_stats_friendly_writes(spark)
     if zorder_by is None:
         # key-sorted within each bucket: compacted files carry tight
         # parquet min/max on the merge key, so a point lookup reads one
@@ -496,7 +513,7 @@ def compact_buckets(
     )
     new_files = _enumerate_bucket_files(
         staging, m.schema_version, new_version, reduced=True,
-        stats_col=m.key_col,
+        stats_col=m.key_col, major_col=m.lww_major,
     )
     files = m.files.with_updates(
         {str(b): new_files.get(str(b), []) for b in buckets}
@@ -542,6 +559,7 @@ def vacuum_tombstones(
     )
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
+    _ensure_stats_friendly_writes(spark)
     (
         keep.select(*data_cols, "_lsn", "_deleted", "_b")
         .repartition(m.n_buckets, F.col("_b"))
@@ -554,7 +572,8 @@ def vacuum_tombstones(
     files = FileSet.replace_all(
         table.meta_dir,
         _enumerate_bucket_files(staging, m.schema_version, new_version,
-                                reduced=True, stats_col=m.key_col),
+                                reduced=True, stats_col=m.key_col,
+                                major_col=m.lww_major),
     )
     nm = Manifest(
         version=new_version,
@@ -569,6 +588,79 @@ def vacuum_tombstones(
         applied_batches=m.applied_batches,
         checkpoint=m.checkpoint,
         summary={"operation": "vacuum_tombstones", "watermark": str(watermark_major)},
+        committed_at=time.time(),
+    )
+    table.commit(nm, staging)
+    return new_version
+
+
+def rehash_buckets(
+    spark: SparkSession,
+    table: LakeTable,
+    new_n_buckets: int,
+) -> int:
+    """Bucket-count evolution (Iceberg partition-spec evolution for a hash
+    layout): rewrite the table under a NEW ``pmod(xxhash64(key), n)`` —
+    the operation a 100 TB table needs when it outgrows its bucket count
+    (buckets sized for 1 TB are 100-key-range monsters at 100 TB: point
+    lookups scan too much, commits contend on too few partition dirs).
+
+    One full-table rewrite (run as rarely as Iceberg's
+    rewrite-data-files-with-new-spec): LWW-fold all generations, keep
+    tombstones (they still guard against late arrivals), key-sort within
+    the new buckets so parquet min/max stay tight, commit with the new
+    ``n_buckets`` atomically — readers and writers before the commit see
+    the old layout, after it the new one; a concurrent merge loses the CAS
+    and rebases onto the new bucket count automatically (its bucket ids are
+    recomputed from the manifest it rebases on).
+
+    The CDF across a rehash stays correct (every bucket's pointer changes →
+    the diff reads both sides in full and keys, not buckets, drive the
+    comparison) — just not pruned, like any full rewrite."""
+    if new_n_buckets < 1:
+        raise ValueError("new_n_buckets must be >= 1")
+    m = table.manifest()
+    data_cols = [f.name for f in m.current_schema().fields]
+    raw = table.read(spark, include_internal=True)
+    full = lww_dedup(
+        raw, key_cols=m.key_col, order_cols=[m.lww_major, "_lsn"]
+    ).withColumn("_b", bucket_expr(m.key_col, new_n_buckets))
+    new_version = m.version + 1
+    staging = table.snapshot_staging_dir(new_version)
+    _ensure_stats_friendly_writes(spark)
+    (
+        full.select(*data_cols, "_lsn", "_deleted", "_b")
+        .repartition(new_n_buckets, F.col("_b"))
+        .sortWithinPartitions(m.key_col)
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(staging)
+    )
+    from embulk_input_marketo_spark.lake.table import FileSet
+
+    files = FileSet.replace_all(
+        table.meta_dir,
+        _enumerate_bucket_files(staging, m.schema_version, new_version,
+                                reduced=True, stats_col=m.key_col,
+                                major_col=m.lww_major),
+    )
+    nm = Manifest(
+        version=new_version,
+        parent=m.version,
+        key_col=m.key_col,
+        lww_major=m.lww_major,
+        n_buckets=new_n_buckets,
+        schema_version=m.schema_version,
+        schemas=m.schemas,
+        renames=m.renames,
+        files=files,
+        applied_batches=m.applied_batches,
+        checkpoint=m.checkpoint,
+        summary={
+            "operation": "rehash",
+            "from_n_buckets": m.n_buckets,
+            "to_n_buckets": new_n_buckets,
+        },
         committed_at=time.time(),
     )
     table.commit(nm, staging)
@@ -611,12 +703,65 @@ def _file_key_stats(path: str, col: str):
         return None
 
 
+def major_to_micros(v) -> int | None:
+    """Normalize a lww-major value to epoch MICROSECONDS (int) so manifest
+    stats stay JSON-portable and total-ordered. Naive datetimes are taken
+    as UTC wall time (both the writer's footer stats and the reader's range
+    bound go through THIS function, so the convention cancels out); aware
+    datetimes convert to UTC. Ints/floats pass through (a numeric major —
+    e.g. an lsn — needs no conversion)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
+    return int(v)
+
+
+def _file_major_stats(path: str, col: str):
+    """Per-file (min, max) of the lww-major column as epoch micros — the
+    time axis of a CDC web table ("pages crawled in window X"). Same
+    conservative-footer discipline as :func:`_file_key_stats`; None on any
+    doubt."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: list = []
+        maxs: list = []
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = None
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col:
+                    st = c.statistics
+                    break
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:
+            return None
+        lo = major_to_micros(min(mins))
+        hi = major_to_micros(max(maxs))
+        if lo is None or hi is None:
+            return None
+        return lo, hi
+    except Exception:
+        return None
+
+
 def _enumerate_bucket_files(
     staging: str,
     sv: int,
     version: int,
     reduced: bool = True,
     stats_col: str | None = None,
+    major_col: str | None = None,
 ) -> dict[str, list[dict]]:
     """List written parquet files per bucket, through the fsio seam (local
     here, Hadoop FileSystem on a cluster — see lake/fsio.py). Each entry
@@ -656,6 +801,10 @@ def _enumerate_bucket_files(
                     stats = _file_key_stats(p, stats_col)
                     if stats is not None:
                         e["kmin"], e["kmax"] = stats
+                if major_col is not None:
+                    tstats = _file_major_stats(p, major_col)
+                    if tstats is not None:
+                        e["tmin"], e["tmax"] = tstats
                 entries.append(e)
             out[b] = entries
     return out

@@ -879,6 +879,7 @@ class LakeTable:
         m: Manifest,
         bucket_keys: set[str],
         key_eq: Any | None = None,
+        major_range_us: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Union all file generations of the given buckets, mapped to the
         current schema + internal columns. May contain multiple versions per
@@ -888,11 +889,26 @@ class LakeTable:
         (kmin, kmax) range excludes it are SKIPPED before any scan is
         planned (Iceberg manifest file stats; the stats are written
         conservatively, so skipping is sound — see merge._file_key_stats).
-        Entries without stats are always read."""
+        Entries without stats are always read.
+
+        ``major_range_us``: closed epoch-micros range on the lww-major
+        column — file entries whose (tmin, tmax) lie wholly outside are
+        skipped. ONLY sound for buckets where every surviving row's final
+        value is in the file that holds it (single reduced generation) —
+        the caller (:meth:`_read_reduced`) enforces that; on raw
+        multi-generation unions a skipped newer file would resurrect an
+        older version of its keys."""
         cur_schema = m.current_schema()
         full_schema = T.StructType(list(cur_schema.fields) + INTERNAL_FIELDS)
 
         def excluded(e) -> bool:
+            if major_range_us is not None and "tmin" in e and "tmax" in e:
+                try:
+                    lo, hi = major_range_us
+                    if e["tmax"] < lo or e["tmin"] > hi:
+                        return True
+                except TypeError:
+                    pass  # incomparable stats: read the file
             if key_eq is None or "kmin" not in e or "kmax" not in e:
                 return False
             try:
@@ -931,6 +947,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_internal: bool = False,
         key_eq: Any | None = None,
+        major_range: tuple[Any, Any] | None = None,
     ) -> DataFrame:
         """Read a snapshot (optionally only some buckets — bucket pruning;
         ``key_eq`` additionally skips files whose manifest key range
@@ -941,6 +958,16 @@ class LakeTable:
         reduced) generation are read directly — no aggregate. Schema
         evolution handled per file generation (rename/cast/pad).
 
+        ``major_range``: closed (lo, hi) range on the lww-major column
+        (datetimes or numbers) — "current rows whose warc_ts falls in the
+        window", the time-axis scan of a CDC web table. Three pruning tiers:
+        manifest file stats skip whole files before planning (clean buckets
+        only — see :meth:`_read_raw` for why MoR buckets must read
+        everything first), the row predicate pushes into the parquet scans
+        for row-group skipping, and the same predicate applied post-reduce
+        keeps LWW semantics exact (a key whose FINAL version is outside the
+        window is excluded, not resurrected at an older version).
+
         ``include_internal``: return the raw multi-generation rows with
         ``_lsn``/``_deleted`` — the merge/compaction path's input. Otherwise
         tombstones are filtered and internal columns dropped."""
@@ -950,7 +977,9 @@ class LakeTable:
         )
         if include_internal:
             return self._read_raw(spark, m, wanted, key_eq=key_eq)
-        return self._read_reduced(spark, m, wanted, key_eq=key_eq)
+        return self._read_reduced(
+            spark, m, wanted, key_eq=key_eq, major_range=major_range
+        )
 
     def _read_reduced(
         self,
@@ -958,10 +987,20 @@ class LakeTable:
         m: Manifest,
         wanted: set[str],
         key_eq: Any | None = None,
+        major_range: tuple[Any, Any] | None = None,
     ) -> DataFrame:
         """The user-facing read of an arbitrary manifest (committed OR
         staged): per-bucket MoR reduce where needed, tombstones dropped."""
         from embulk_input_marketo_spark.operators.dedup import lww_dedup
+
+        range_us = None
+        if major_range is not None:
+            from embulk_input_marketo_spark.lake.merge import major_to_micros
+
+            lo_us = major_to_micros(major_range[0])
+            hi_us = major_to_micros(major_range[1])
+            if lo_us is not None and hi_us is not None:
+                range_us = (lo_us, hi_us)
 
         # a bucket can skip the read-time reduce only if it holds a single
         # generation AND that generation was written per-key-reduced
@@ -973,7 +1012,14 @@ class LakeTable:
             and all(e.get("reduced", True) for e in m.files[b])
         } | (wanted - have)
         dirty = wanted - clean
-        out = self._read_raw(spark, m, clean, key_eq=key_eq)
+        # file-level time skipping ONLY on clean buckets: every surviving
+        # row's final version sits in the file that holds it, so dropping a
+        # wholly-out-of-range file drops only rows the post-reduce predicate
+        # would drop anyway. Dirty (multi-generation) buckets read in full —
+        # the winner for a key may be out of range while a loser is in it.
+        out = self._read_raw(
+            spark, m, clean, key_eq=key_eq, major_range_us=range_us
+        )
         if dirty:
             reduced = lww_dedup(
                 self._read_raw(spark, m, dirty, key_eq=key_eq),
@@ -981,7 +1027,12 @@ class LakeTable:
                 order_cols=[m.lww_major, "_lsn"],
             )
             out = out.unionByName(reduced.select(*out.columns))
-        return out.where(~F.col("_deleted")).drop("_lsn", "_deleted")
+        out = out.where(~F.col("_deleted")).drop("_lsn", "_deleted")
+        if major_range is not None:
+            out = out.where(
+                F.col(m.lww_major).between(major_range[0], major_range[1])
+            )
+        return out
 
     def _map_to_current(
         self, df: DataFrame, sv: int, m: Manifest, cur_schema: T.StructType

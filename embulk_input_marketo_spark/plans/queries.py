@@ -2481,6 +2481,75 @@ def _sql_cdf_incremental_agg() -> str:
     """
 
 
+def q_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-axis scan of the CDC table: replay the changelog, compact (so
+    buckets are single-generation and the manifest's per-file (tmin, tmax)
+    lww-major stats can skip whole files), then read the Jan-10..Jan-20
+    window via ``read(major_range=...)``. Semantics are post-LWW: a url
+    whose FINAL crawl falls outside the window is absent — never served at
+    an older in-range version (the MoR-soundness rule in table._read_raw).
+    Oracle: the final LWW state filtered by the same closed ts range."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.lake.merge import compact_buckets
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_twin_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    replay(spark, log, table, n_slices=2)
+    compact_buckets(spark, table, list(range(8)))
+    import datetime as _dt
+
+    # window chosen to split the fixture's final-state ts distribution
+    # (finals cluster near the changelog's end — a key's final crawl is its
+    # latest): non-vacuous at sf0.01 (32 of 120) and sf0.1 (377)
+    lo = _dt.datetime(2024, 1, 29)
+    hi = _dt.datetime(2024, 1, 30, 12)
+    return table.read(spark, major_range=(lo, hi)).select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").alias("ts"),
+        "value",
+        "props",
+    )
+
+
+def _sql_time_window_scan() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS user_id, ts, value, props
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, ts, value, props FROM latest
+    WHERE rn = 1 AND op <> 'D'
+      AND ts BETWEEN TIMESTAMP '2024-01-29' AND TIMESTAMP '2024-01-30 12:00:00'
+    """
+
+
 def q_cdf_follower_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change-feed FOLLOWER: a persistent exactly-once CDF consumer.
     The changelog replays in three installments; between installments the
@@ -2736,6 +2805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_blocklist": q_domain_blocklist,
     "cdf_incremental_agg": q_cdf_incremental_agg,
     "cdf_follower_agg": q_cdf_follower_agg,
+    "time_window_scan": q_time_window_scan,
     "zorder_layout": q_zorder_layout,
     "semantic_dedup": q_semantic_dedup,
 }
@@ -2810,6 +2880,7 @@ ORACLES: dict[str, str] = {
     "domain_blocklist": _sql_domain_blocklist(),
     "cdf_incremental_agg": _sql_cdf_incremental_agg(),
     "cdf_follower_agg": _sql_cdf_follower_agg(),
+    "time_window_scan": _sql_time_window_scan(),
     "zorder_layout": _sql_zorder_layout(),
     "semantic_dedup": _sql_semantic_dedup(),
 }

@@ -41,6 +41,11 @@ def get_spark(
         # lz4's 0.79) — and lz4 is the standard hot-data codec at scale
         # (zstd is for cold/archival tiers, ~20% slower here)
         .config("spark.sql.parquet.compression.codec", "lz4")
+        # INT64 micros, not the legacy INT96: footers carry min/max stats
+        # (the manifest's per-file (tmin, tmax) time skipping needs them)
+        # and timestamp predicates push into row-group pruning — the
+        # Iceberg/Delta on-disk convention
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # bound single-task input at the scan; 128MB default is right for
         # parquet at scale, keep explicit so bench runs are reproducible
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -846,3 +846,174 @@ def apply_dedup(
     return docs.join(
         keep.select(F.col(id_col).cast("long").alias(id_col)), id_col, "semi"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batches against a persisted signature index
+# ---------------------------------------------------------------------------
+#
+# The CDC-meets-corpus-dedup operator: a crawl's nightly batch must dedup
+# against the ALREADY-KEPT corpus without rescanning it. The corpus side
+# lives as a persisted banded-minhash index — (band_id, band_hash, id) rows,
+# 24 bytes each, partitioned by band_id — so a batch dedup touches the index
+# (a few % of corpus bytes), never the corpus text. This is the signature
+# analogue of the ANN index writer (functions/similarity.write_ann_index).
+#
+# Decision semantics are banded-LSH candidacy (share any band ⇒ duplicate),
+# the production posture of web-scale dedup (Dolma/RefinedWeb run unverified
+# LSH at these parameters); callers needing exact-Jaccard confirmation feed
+# the pair output through ngram_jaccard as usual.
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> None:
+    """Materialize the corpus' banded-minhash index. Parameters ride in a
+    sidecar so every later batch banding is computed IDENTICALLY — a
+    parameter drift between index and batch silently finds nothing."""
+    import json
+    import os
+
+    params = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+    }
+    banded = _lsh_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed, None
+    )
+    os.makedirs(path, exist_ok=True)
+    banded.write.mode("overwrite").partitionBy("band_id").parquet(
+        os.path.join(path, "base")
+    )
+    tmp = os.path.join(path, "_params.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.rename(tmp, os.path.join(path, "_params.json"))
+
+
+def _minhash_index_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_params.json")) as f:
+        return json.load(f)
+
+
+def _read_minhash_index(spark, path: str) -> DataFrame:
+    import os
+
+    dirs = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if d == "base" or d.startswith("delta-")
+    ]
+    # each generation dir is its own partitioned table root (base/band_id=N,
+    # delta-x/band_id=N): load per root so partition discovery sees a
+    # consistent layout, then union — band_id pruning still applies per scan
+    out = None
+    for d in dirs:
+        df = spark.read.parquet(d)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def append_minhash_index(df: DataFrame, path: str) -> None:
+    """Fold a batch's KEPT docs into the index as a delta dir (the index
+    grows O(new survivors); nothing is rewritten). Readers union base +
+    deltas; compacting deltas back into base is a plain rewrite job."""
+    import os
+    import uuid
+
+    p = _minhash_index_params(path)
+    banded = _lsh_banded(
+        df, p["text_col"], p["id_col"], p["num_hashes"], p["bands"],
+        p["shingle_n"], p["seed"], None,
+    )
+    banded.write.partitionBy("band_id").parquet(
+        os.path.join(path, f"delta-{uuid.uuid4().hex[:8]}")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_path: str,
+    update_index: bool = False,
+) -> DataFrame:
+    """Dedup a new batch against the persisted corpus index AND within
+    itself, in one pass over the batch:
+
+    - ``dup_of_corpus``: the doc shares a band hash with an indexed doc.
+      One semi-join of the batch's banded rows against the index on
+      (band_id, band_hash) — co-partitioned by the join key, index side
+      never rescans the corpus text.
+    - ``dup_in_batch``: bucket-representative rule — within each batch band
+      bucket the minimum id survives, everyone else is a duplicate (the
+      ordered-pair convention of minhash_lsh_pairs collapsed to its
+      decision). First occurrence wins, deterministically.
+    - ``keep`` = neither.
+
+    ``update_index=True`` appends the kept docs' banded rows as an index
+    delta, so tomorrow's batch dedups against today's survivors — the
+    index is the dedup pipeline's own incremental state, maintained like
+    the lake's rollups: O(change), never O(corpus).
+
+    Returns one row per batch doc: (id, dup_of_corpus, dup_in_batch, keep).
+    """
+    spark = new_docs.sparkSession
+    p = _minhash_index_params(index_path)
+    id_col = p["id_col"]
+    banded_new = _lsh_banded(
+        new_docs, p["text_col"], id_col, p["num_hashes"], p["bands"],
+        p["shingle_n"], p["seed"], None,
+    ).localCheckpoint(eager=True)  # banding is expensive; it feeds 3 plans
+    index = _read_minhash_index(spark, index_path).select(
+        "band_id", "band_hash"
+    )
+    corpus_hits = (
+        banded_new.join(index, ["band_id", "band_hash"], "semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("dup_of_corpus", F.lit(True))
+    )
+    bucket_min = banded_new.groupBy("band_id", "band_hash").agg(
+        F.min(id_col).alias("_min_id"), F.count(F.lit(1)).alias("_n")
+    )
+    batch_hits = (
+        banded_new.join(bucket_min, ["band_id", "band_hash"])
+        .where((F.col("_n") > 1) & (F.col(id_col) > F.col("_min_id")))
+        .select(id_col)
+        .distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    out = (
+        new_docs.select(id_col)
+        .join(corpus_hits, id_col, "left")
+        .join(batch_hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_of_corpus", F.lit(False)).alias("dup_of_corpus"),
+            F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+        )
+        .withColumn(
+            "keep", ~F.col("dup_of_corpus") & ~F.col("dup_in_batch")
+        )
+    )
+    if update_index:
+        kept_ids = out.where("keep").select(id_col)
+        kept = new_docs.join(kept_ids, id_col, "semi")
+        # an all-duplicates batch keeps nothing: writing a zero-file delta
+        # dir would poison later index reads (no schema to infer)
+        if kept.limit(1).count() > 0:
+            append_minhash_index(kept, index_path)
+    return out

@@ -892,6 +892,92 @@ def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies)
 
 
+def _synth_text(h: F.Column) -> F.Column:
+    """8 four-hex-char words from an md5 — deterministic document text that
+    is unrelated to every corpus doc (no shared shingles), identical across
+    engines (Spark md5/substr ≡ DuckDB md5/substr on the same input)."""
+    return F.concat_ws(" ", *[F.substring(h, 1 + 4 * k, 4) for k in range(8)])
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: tonight's crawl batch against the persisted
+    corpus signature index — never rescanning the corpus text. The index is
+    built over `documents`; the batch mixes (a) exact copies of corpus docs
+    (→ dup_of_corpus), (b) brand-new synthetic docs (→ keep), and (c)
+    pairs of identical new docs (first keeps, second → dup_in_batch).
+    Decision = banded-LSH candidacy (share any band), which at this fixture
+    scale is exactly text equality (no cross-band collisions — the same
+    invariant the minhash/simhash oracles pin). Oracle: text-equality
+    EXISTS checks against the corpus and against earlier batch ids."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(
+        prefix="mh_index_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index_path = f"{path}/minhash_index"
+    dedup_docs.write_minhash_index(docs, index_path)
+
+    d = F.col("doc_id")
+    a = docs.where(d % 10 == 0).select(
+        (d + 100000).alias("doc_id"), "text"
+    )
+    b = docs.where(d % 10 == 1).select(
+        (d + 200000).alias("doc_id"),
+        _synth_text(F.md5(d.cast("string"))).alias("text"),
+    )
+    c_text = _synth_text(F.md5(F.concat(F.lit("c"), d.cast("string"))))
+    c1 = docs.where(d % 10 == 2).select(
+        (d + 300000).alias("doc_id"), c_text.alias("text")
+    )
+    c2 = docs.where(d % 10 == 2).select(
+        (d + 400000).alias("doc_id"), c_text.alias("text")
+    )
+    batch = a.unionByName(b).unionByName(c1).unionByName(c2)
+    return dedup_docs.incremental_dedup(batch, index_path).orderBy("doc_id")
+
+
+def _sql_incremental_dedup() -> str:
+    synth = (
+        "concat_ws(' ', "
+        + ", ".join(f"substr(h, {1 + 4 * k}, 4)" for k in range(8))
+        + ")"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, regexp_replace(TRIM(lower(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), synth_b AS (
+      SELECT doc_id + 200000 AS doc_id,
+             {synth.replace('h,', "md5(CAST(doc_id AS VARCHAR)),")} AS t
+      FROM documents WHERE doc_id % 10 = 1
+    ), synth_c AS (
+      SELECT doc_id,
+             {synth.replace('h,', "md5('c' || CAST(base_id AS VARCHAR)),")} AS t
+      FROM (
+        SELECT doc_id AS base_id, doc_id + 300000 AS doc_id
+        FROM documents WHERE doc_id % 10 = 2
+        UNION ALL
+        SELECT doc_id, doc_id + 400000 FROM documents WHERE doc_id % 10 = 2
+      )
+    ), batch AS (
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(TRIM(lower(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL SELECT * FROM synth_b
+      UNION ALL SELECT * FROM synth_c
+    )
+    SELECT n.doc_id,
+           EXISTS(SELECT 1 FROM corpus o WHERE o.t = n.t) AS dup_of_corpus,
+           EXISTS(SELECT 1 FROM batch m
+                  WHERE m.t = n.t AND m.doc_id < n.doc_id) AS dup_in_batch,
+           NOT EXISTS(SELECT 1 FROM corpus o WHERE o.t = n.t)
+           AND NOT EXISTS(SELECT 1 FROM batch m
+                          WHERE m.t = n.t AND m.doc_id < n.doc_id) AS keep
+    FROM batch n ORDER BY doc_id
+    """
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.exact_dedup(_docs_with_copies(spark, sf_dir))
 
@@ -2763,6 +2849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text": q_extract_text,
     "doc_stats_bytes": q_doc_stats_bytes,
     "exact_dedup": q_exact_dedup,
+    "incremental_dedup": q_incremental_dedup,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_hamming_pairs": q_simhash_pairs,
     "ngram_jaccard_matrix": q_ngram_jaccard_matrix,
@@ -2830,6 +2917,7 @@ ORACLES: dict[str, str] = {
     "extract_text": _sql_extract_text(),
     "doc_stats_bytes": _sql_doc_stats_bytes(),
     "exact_dedup": _sql_exact_dedup(),
+    "incremental_dedup": _sql_incremental_dedup(),
     "minhash_dedup_pairs": _sql_minhash_dedup_pairs(),
     "simhash_hamming_pairs": _sql_simhash_pairs(),
     "ngram_jaccard_matrix": _sql_ngram_jaccard_matrix(),

@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_apply",
     "cdf_incremental_agg",
     "cdf_follower_agg",
+    "incremental_dedup",
     "time_travel_restore",
     "time_window_scan",
     "zorder_layout",

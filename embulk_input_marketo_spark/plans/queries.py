@@ -356,6 +356,59 @@ def _sql_time_travel_restore() -> str:
     """
 
 
+def q_wal_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAL wire format: serialize the events-derived changelog into
+    Debezium envelopes (upserts as after-images, deletes as before-images,
+    source.lsn/ts_ms), then parse the JSON back through the explicit-schema
+    envelope parser. Round-trip identity IS the gate: any asymmetry in op
+    mapping, image selection, or the ms-precision time carry shows up
+    against the oracle, which projects the same changelog directly from the
+    raw events (never touching JSON). ts lands at Debezium's millisecond
+    precision on both sides."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.sources.debezium import (
+        parse_debezium,
+        to_debezium,
+    )
+
+    log = _events_as_changelog(spark, sf_dir)
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    wire = to_debezium(
+        log.select("op", "url", "value", "props", "lsn", "warc_ts"),
+        row_cols=["url", "value", "props"],
+        lsn_col="lsn",
+    )
+    good, _quarantine = parse_debezium(wire, row_schema)
+    return good.select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        "props",
+        "op",
+        "lsn",
+    )
+
+
+def _sql_wal_envelope_roundtrip() -> str:
+    return """
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts,
+           value, props,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error'  THEN 'D'
+                ELSE 'U' END AS op,
+           event_id AS lsn
+    FROM events
+    """
+
+
 def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LWW reducer alone (salted two-phase) — latest event per user."""
     ev = _t(spark, sf_dir, "events")
@@ -2880,6 +2933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changes_feed": q_cdc_changes_feed,
     "cdc_changes_preimage": q_cdc_changes_preimage,
     "time_travel_restore": q_time_travel_restore,
+    "wal_envelope_roundtrip": q_wal_envelope_roundtrip,
     "token_frequency_stats": q_token_frequency_stats,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
@@ -2956,6 +3010,7 @@ ORACLES: dict[str, str] = {
     "cdc_changes_feed": _sql_cdc_changes_feed(),
     "cdc_changes_preimage": _sql_cdc_changes_preimage(),
     "time_travel_restore": _sql_time_travel_restore(),
+    "wal_envelope_roundtrip": _sql_wal_envelope_roundtrip(),
     "token_frequency_stats": _sql_token_frequency_stats(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),

@@ -409,6 +409,66 @@ def _sql_wal_envelope_roundtrip() -> str:
     """
 
 
+def q_wal_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL-native schema discovery: the producer starts emitting two new
+    fields (`lang` string, `hit_count` long) at lsn > 5000 — mid-stream, no
+    describe endpoint. The engine reads each envelope image as a
+    map<string,string> and votes a conservative type per unknown field.
+    Oracle: the drift summary computed directly from the raw events (name,
+    voted type, first lsn carrying the field, occurrence count)."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.sources.debezium import (
+        discover_schema_drift,
+        to_debezium,
+    )
+
+    log = _events_as_changelog(spark, sf_dir)
+    extended = log.withColumn(
+        "lang",
+        F.when(
+            F.col("lsn") > 5000,
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("lsn") % 3 + 1).cast("int"),
+            ),
+        ),
+    ).withColumn(
+        "hit_count",
+        F.when(F.col("lsn") > 5000, F.col("lsn") % 100),
+    )
+    wire = to_debezium(
+        extended,
+        row_cols=["url", "value", "props", "lang", "hit_count"],
+        lsn_col="lsn",
+    )
+    known = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return discover_schema_drift(wire, known).select(
+        "field_name", "field_type", "first_lsn", "n_seen"
+    )
+
+
+def _sql_wal_schema_drift() -> str:
+    # to_json drops null fields, so a field "appears" exactly on the rows
+    # where the when() above is non-null: every event with lsn > 5000
+    return """
+    WITH post AS (SELECT event_id AS lsn FROM events WHERE event_id > 5000)
+    SELECT 'hit_count' AS field_name, 'long' AS field_type,
+           (SELECT MIN(lsn) FROM post) AS first_lsn,
+           (SELECT COUNT(*) FROM post) AS n_seen
+    UNION ALL
+    SELECT 'lang', 'string',
+           (SELECT MIN(lsn) FROM post), (SELECT COUNT(*) FROM post)
+    ORDER BY field_name
+    """
+
+
 def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LWW reducer alone (salted two-phase) — latest event per user."""
     ev = _t(spark, sf_dir, "events")
@@ -2934,6 +2994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changes_preimage": q_cdc_changes_preimage,
     "time_travel_restore": q_time_travel_restore,
     "wal_envelope_roundtrip": q_wal_envelope_roundtrip,
+    "wal_schema_drift": q_wal_schema_drift,
     "token_frequency_stats": q_token_frequency_stats,
     "top_words": q_top_words,
     "url_normalize": q_url_normalize,
@@ -3011,6 +3072,7 @@ ORACLES: dict[str, str] = {
     "cdc_changes_preimage": _sql_cdc_changes_preimage(),
     "time_travel_restore": _sql_time_travel_restore(),
     "wal_envelope_roundtrip": _sql_wal_envelope_roundtrip(),
+    "wal_schema_drift": _sql_wal_schema_drift(),
     "token_frequency_stats": _sql_token_frequency_stats(),
     "top_words": _sql_top_words(),
     "url_normalize": _sql_url_normalize(),

@@ -161,3 +161,107 @@ def to_debezium(
     return df.select(
         F.to_json(F.struct(payload.alias("payload"))).alias("value")
     )
+
+
+def discover_schema_drift(
+    df: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """WAL-native schema discovery: fields present in the stream's row
+    images but absent from the known schema — the "new ``lang`` column
+    appears mid-stream" event. The reference re-describes the REST schema
+    at the start of every run (``LeadBulkExtractInputPlugin.java:55-63``);
+    a log tail has no describe endpoint, so the log itself is the describe:
+    each envelope's after/before image is read as a map<string,string> (one
+    ``from_json``, JVM-side, no inference over the whole stream) and unknown
+    keys aggregate to one row per new field.
+
+    Returns (field_name, field_type, first_lsn, n_seen):
+    - ``field_type``: conservative vote over every observed value —
+      boolean if all are true/false, else long if all try_cast to long,
+      else double, else string (the reference's unknown-type default,
+      ``MarketoField.java:23-29``). NULL JSON values abstain.
+    - ``first_lsn``: the first change event carrying the field — the
+      registry entry's ``effective_lsn``, so reconcile applies the column
+      exactly at the batch that first needs it.
+
+    Scale shape: map-side combined aggregate over (new-field, partial
+    votes) — |new fields| rows out, one shuffle of scalar counters; the
+    stream is read once and the known-field mass never leaves the map side
+    (array_except on the keys happens before the explode)."""
+    known = [f.name for f in row_schema.fields]
+    img = F.coalesce(
+        F.get_json_object(F.col(value_col), "$.payload.after"),
+        F.get_json_object(F.col(value_col), "$.payload.before"),
+    )
+    kv = F.from_json(img, "map<string,string>")
+    unknown_keys = F.array_except(F.map_keys(kv), F.array(*[F.lit(k) for k in known]))
+    lsn = F.get_json_object(F.col(value_col), "$.payload.source.lsn").cast(
+        "long"
+    )
+    pairs = (
+        df.select(kv.alias("_kv"), unknown_keys.alias("_uk"), lsn.alias("_lsn"))
+        .where(F.size("_uk") > 0)
+        .select(
+            F.explode("_uk").alias("field_name"),
+            F.col("_kv"),
+            F.col("_lsn"),
+        )
+        .select(
+            "field_name",
+            F.element_at(F.col("_kv"), F.col("field_name")).alias("_v"),
+            "_lsn",
+        )
+    )
+    v = F.col("_v")
+    is_bool = F.lower(v).isin("true", "false")
+    is_long = v.try_cast("long").isNotNull()
+    is_double = v.try_cast("double").isNotNull()
+    agg = pairs.groupBy("field_name").agg(
+        F.min("_lsn").alias("first_lsn"),
+        F.count(F.lit(1)).alias("n_seen"),
+        # NULL values abstain from the vote (min of an empty set over the
+        # non-null subset): coalesce each vote to 1 for null v
+        F.min(F.when(v.isNull(), 1).otherwise(is_bool.cast("int"))).alias("_b"),
+        F.min(F.when(v.isNull(), 1).otherwise(is_long.cast("int"))).alias("_l"),
+        F.min(F.when(v.isNull(), 1).otherwise(is_double.cast("int"))).alias("_d"),
+        F.max(F.when(v.isNull(), 0).otherwise(1)).alias("_any"),
+    )
+    field_type = (
+        F.when(F.col("_any") == 0, "string")  # only nulls seen: default
+        .when(F.col("_b") == 1, "boolean")
+        .when(F.col("_l") == 1, "long")
+        .when(F.col("_d") == 1, "double")
+        .otherwise("string")
+    )
+    return agg.select(
+        "field_name", field_type.alias("field_type"), "first_lsn", "n_seen"
+    ).orderBy("field_name")
+
+
+def drift_to_registry_entries(
+    drift_rows: list,
+    base_version: int,
+) -> list:
+    """Turn collected :func:`discover_schema_drift` rows into registry
+    ``add`` entries (one version step per field, effective at the field's
+    first lsn) — the bridge from log-observed drift to the same
+    ``SchemaRegistry.reconcile`` path out-of-band registries use, so the
+    lake schema update stays one metadata-only commit gated on the batch
+    window. The drift frame is |new fields| rows — collecting it is O(new
+    columns), never O(stream)."""
+    from embulk_input_marketo_spark.registry import RegistryEntry
+
+    return [
+        RegistryEntry(
+            version=base_version + i + 1,
+            field_name=r["field_name"],
+            field_type=r["field_type"],
+            change="add",
+            effective_lsn=int(r["first_lsn"]),
+        )
+        for i, r in enumerate(
+            sorted(drift_rows, key=lambda r: (r["first_lsn"], r["field_name"]))
+        )
+    ]

@@ -106,3 +106,78 @@ def stream_replay(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_wal_replay(
+    spark: SparkSession,
+    wal_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    row_schema,
+    salt_buckets: int | None = 16,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Tail a directory of WAL/Debezium envelope files (JSON lines — the
+    file-drop shape of a Kafka-connect S3 sink) straight into the lake:
+    readStream.text → explicit-schema envelope parse → channel-gated merge.
+    The full wire-to-table path under Structured Streaming's exactly-once
+    (source offsets in the checkpoint, epoch watermark in the manifest —
+    re-delivered epochs no-op, exactly like :func:`stream_replay`).
+
+    Quarantined lines (broken JSON, unknown ops, missing images — see
+    sources/debezium.parse_debezium) are APPENDED per epoch under
+    ``<checkpoint_dir>/quarantine`` with the epoch id, so ingest health is
+    a table you can aggregate, not a log line. Returns the StreamingQuery.
+    """
+    from embulk_input_marketo_spark.sources.debezium import parse_debezium
+
+    stream_id = _stream_instance_id(checkpoint_dir)
+    quarantine_dir = os.path.join(checkpoint_dir, "quarantine")
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.text(wal_dir).withColumnRenamed("value", "value")
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        good, quarantine = parse_debezium(batch_df, row_schema)
+        (
+            quarantine.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(quarantine_dir)
+        )
+        m = table.manifest()
+        data_cols = [f.name for f in m.current_schema().fields]
+        cols = [c for c in data_cols if c in good.columns]
+        missing = [
+            f for f in m.current_schema().fields if f.name not in good.columns
+        ]
+        proj = good.select(
+            *[F.col(c) for c in cols],
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            F.col("op"),
+            F.col("lsn").alias("_lsn"),
+        )
+        merge_batch(
+            spark,
+            table,
+            proj,
+            batch_id=f"wal-{stream_id}-epoch-{epoch_id}",
+            channel=(f"wal-{stream_id}", int(epoch_id)),
+            salt_buckets=salt_buckets,
+            lineage={
+                "epoch": epoch_id,
+                "stream": stream_id,
+                "source": wal_dir,
+                "format": "debezium",
+            },
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1053,6 +1053,49 @@ class LakeTable:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         return df.select(*cols)
 
+    def maintenance_plan(
+        self,
+        compact_generations: int = 4,
+        expire_keep_last: int = 10,
+    ) -> dict[str, Any]:
+        """Metadata-only health report: what upkeep this table needs, from
+        the manifest chain alone — no data scan, O(buckets) side-file reads
+        (the operational dashboard query an operator runs before deciding
+        to burn a cluster on compaction). Returns:
+
+        - ``compact_buckets``: buckets whose MoR delta-generation count ≥
+          ``compact_generations`` (read-time reduce cost is growing there);
+        - ``expirable_snapshots``: versions older than the newest
+          ``expire_keep_last`` (each strands superseded data generations);
+        - ``stale_staged``: write-audit-publish stages never published;
+        - per-bucket ``file_counts`` and the generation histogram."""
+        m = self.manifest()
+        gens: dict[str, int] = {}
+        file_counts: dict[str, int] = {}
+        for b in set(m.files):
+            entries = m.files[b]
+            file_counts[b] = len(entries)
+            gens[b] = len({e.get("v", 0) for e in entries})
+        cur = self.current_version()
+        expirable = [
+            mm.version
+            for mm in self.history()
+            if mm.version < max(cur - expire_keep_last + 1, 0)
+        ]
+        hist: dict[int, int] = {}
+        for g in gens.values():
+            hist[g] = hist.get(g, 0) + 1
+        return {
+            "version": cur,
+            "compact_buckets": sorted(
+                int(b) for b, g in gens.items() if g >= compact_generations
+            ),
+            "expirable_snapshots": expirable,
+            "stale_staged": self.list_staged(),
+            "file_counts": {int(b): n for b, n in file_counts.items()},
+            "generation_histogram": hist,
+        }
+
     # ------------------------------------------------------------ evolution
     def evolve_schema(
         self,

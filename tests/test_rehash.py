@@ -129,3 +129,28 @@ def test_cdf_across_rehash_is_exact(spark, tmp_path):
     )
     ch = {(r.url, r["_change"]) for r in table.changes(spark, v1).collect()}
     assert ch == {("a", "update")}
+
+
+def test_maintenance_plan_reports_upkeep(spark, tmp_path):
+    table = LakeTable.create(
+        str(tmp_path / "t"), SCHEMA, key_col="url", lww_major="warc_ts",
+        n_buckets=1,  # every batch hits the same bucket → generations grow
+    )
+    for i in range(4):
+        merge_batch(
+            spark, table,
+            _batch(spark, [(f"u{i}", i, i, "I", i)]),
+            batch_id=f"b{i}", lsn_col="lsn",
+        )
+    plan = table.maintenance_plan(compact_generations=4, expire_keep_last=2)
+    assert plan["compact_buckets"] == [0]       # 4 MoR generations piled up
+    assert plan["expirable_snapshots"] == [0, 1, 2]
+    assert plan["stale_staged"] == []
+    assert plan["generation_histogram"] == {4: 1}
+    assert plan["file_counts"][0] >= 4
+
+    from embulk_input_marketo_spark.lake.merge import compact_buckets
+
+    compact_buckets(spark, table, plan["compact_buckets"])
+    after = table.maintenance_plan(compact_generations=4, expire_keep_last=2)
+    assert after["compact_buckets"] == []       # compaction clears the flag

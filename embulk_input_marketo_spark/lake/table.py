@@ -880,6 +880,7 @@ class LakeTable:
         bucket_keys: set[str],
         key_eq: Any | None = None,
         major_range_us: tuple[int, int] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Union all file generations of the given buckets, mapped to the
         current schema + internal columns. May contain multiple versions per
@@ -899,6 +900,14 @@ class LakeTable:
         multi-generation unions a skipped newer file would resurrect an
         older version of its keys."""
         cur_schema = m.current_schema()
+        if columns is not None:
+            # prune BEFORE the plan exists: the MoR reduce packs its input
+            # columns into an opaque max_by struct, which Catalyst does not
+            # prune through — a narrow projection must reach the parquet
+            # ReadSchema here or the wide payload (html!) rides the shuffle
+            cur_schema = T.StructType(
+                [f for f in cur_schema.fields if f.name in set(columns)]
+            )
         full_schema = T.StructType(list(cur_schema.fields) + INTERNAL_FIELDS)
 
         def excluded(e) -> bool:
@@ -948,10 +957,19 @@ class LakeTable:
         include_internal: bool = False,
         key_eq: Any | None = None,
         major_range: tuple[Any, Any] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read a snapshot (optionally only some buckets — bucket pruning;
         ``key_eq`` additionally skips files whose manifest key range
         excludes the key — the point-lookup path).
+
+        ``columns``: narrow projection pushed BELOW the merge-on-read
+        reduce — the LWW aggregate packs its input into an opaque max_by
+        struct that Catalyst cannot prune through, so without this a
+        two-column read of a web-page table drags the full html payload
+        through the scan AND the reduce shuffle. The key and lww-major
+        columns are read internally when the reduce needs them but only
+        the requested columns come back.
 
         Merge-on-read: buckets holding delta files from several commits are
         LWW-reduced at read time; buckets with a single (already per-key
@@ -978,7 +996,8 @@ class LakeTable:
         if include_internal:
             return self._read_raw(spark, m, wanted, key_eq=key_eq)
         return self._read_reduced(
-            spark, m, wanted, key_eq=key_eq, major_range=major_range
+            spark, m, wanted, key_eq=key_eq, major_range=major_range,
+            columns=columns,
         )
 
     def _read_reduced(
@@ -988,10 +1007,24 @@ class LakeTable:
         wanted: set[str],
         key_eq: Any | None = None,
         major_range: tuple[Any, Any] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """The user-facing read of an arbitrary manifest (committed OR
         staged): per-bucket MoR reduce where needed, tombstones dropped."""
         from embulk_input_marketo_spark.operators.dedup import lww_dedup
+
+        requested = columns
+        if columns is not None:
+            schema_names = {f.name for f in m.current_schema().fields}
+            missing = [c for c in columns if c not in schema_names]
+            if missing:
+                raise ValueError(f"unknown columns: {missing}")
+            # the reduce needs the key and the order major internally (and
+            # the range filter the major) — read them, return only what was
+            # asked for
+            columns = list(
+                dict.fromkeys(list(columns) + [m.key_col, m.lww_major])
+            )
 
         range_us = None
         if major_range is not None:
@@ -1018,11 +1051,12 @@ class LakeTable:
         # would drop anyway. Dirty (multi-generation) buckets read in full —
         # the winner for a key may be out of range while a loser is in it.
         out = self._read_raw(
-            spark, m, clean, key_eq=key_eq, major_range_us=range_us
+            spark, m, clean, key_eq=key_eq, major_range_us=range_us,
+            columns=columns,
         )
         if dirty:
             reduced = lww_dedup(
-                self._read_raw(spark, m, dirty, key_eq=key_eq),
+                self._read_raw(spark, m, dirty, key_eq=key_eq, columns=columns),
                 key_cols=m.key_col,
                 order_cols=[m.lww_major, "_lsn"],
             )
@@ -1032,6 +1066,8 @@ class LakeTable:
             out = out.where(
                 F.col(m.lww_major).between(major_range[0], major_range[1])
             )
+        if requested is not None:
+            out = out.select(*requested)
         return out
 
     def _map_to_current(

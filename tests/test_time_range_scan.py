@@ -138,3 +138,83 @@ def test_range_scan_equals_filtered_full_read(spark, tmp_path):
         for r in table.read(spark, major_range=(lo, hi)).collect()
     }
     assert got == want and got
+
+
+WIDE = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("html", T.StringType()),  # the wide payload
+    ]
+)
+
+
+def test_column_pruning_reaches_scan_through_mor_reduce(spark, tmp_path):
+    """read(columns=...) must prune the wide payload OUT of the parquet
+    ReadSchema even for merge-on-read buckets — the LWW max_by struct is
+    opaque to Catalyst, so the pruning has to happen below the reduce."""
+    from pyspark.sql import Row
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), WIDE, key_col="url", lww_major="warc_ts",
+        n_buckets=1,
+    )
+
+    def batch(rows, bid):
+        merge_batch(
+            spark, table,
+            spark.createDataFrame(
+                [
+                    Row(url=u, warc_ts=_ts(d), value=float(v),
+                        html="<html>" + "x" * 100 + "</html>",
+                        op="I", lsn=lsn)
+                    for (u, d, v, lsn) in rows
+                ]
+            ),
+            batch_id=bid, lsn_col="lsn",
+        )
+
+    batch([("a", 1, 1, 1), ("b", 2, 2, 2)], "b1")
+    batch([("a", 3, 9, 3)], "b2")  # second generation → MoR bucket
+
+    narrow = table.read(spark, columns=["url", "value"])
+    assert narrow.columns == ["url", "value"]
+    assert {(r.url, r.value) for r in narrow.collect()} == {
+        ("a", 9.0), ("b", 2.0),
+    }
+    # the EXECUTED plan's ReadSchema is what the scan actually reads; the
+    # parsed/analyzed stages always print the relation's full column list
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in plan  # never read, never shuffled
+
+    # unknown columns fail loudly, not with a downstream resolve error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        table.read(spark, columns=["nope"])
+
+
+def test_column_pruning_composes_with_major_range(spark, tmp_path):
+    from pyspark.sql import Row
+
+    table = LakeTable.create(
+        str(tmp_path / "t2"), WIDE, key_col="url", lww_major="warc_ts",
+        n_buckets=1,
+    )
+    merge_batch(
+        spark, table,
+        spark.createDataFrame(
+            [
+                Row(url=f"u{d}", warc_ts=_ts(d), value=float(d),
+                    html="y" * 50, op="I", lsn=d)
+                for d in range(1, 6)
+            ]
+        ),
+        batch_id="b1", lsn_col="lsn",
+    )
+    got = table.read(
+        spark, columns=["value"], major_range=(_ts(2), _ts(3))
+    )
+    assert got.columns == ["value"]
+    assert {r.value for r in got.collect()} == {2.0, 3.0}

@@ -100,17 +100,33 @@ def _speed_probe_multi(n: int = 8) -> float:
 
 
 def _probe_once() -> dict:
-    """One probe sample: single-core time, worst concurrent-8 time, and
-    their RATIO — the self-calibrating window-quality number. Unthrottled
-    hosts run concurrent copies at single-copy speed (ratio ≈ 1, any base
-    clock); this hypervisor's bad windows measured ratio ≈ 2.0 while the
-    single-core time stayed nominal. Appends to the calibration record."""
+    """One probe sample: single-core time, worst per-process time at
+    N_SMALL-way and N_BIG-way concurrency, and two ratios:
+
+    - ``probe_ratio`` = multi(N_BIG)/single — the ORIGINAL window-quality
+      number, kept for history continuity and attribution. 20260818
+      addendum: this ratio became structurally un-passable — across 91
+      consecutive samples spanning 14h it never dropped below 1.449
+      (calibration history), because the hypervisor now grants a lone
+      process a turbo clock it never grants concurrent ones. A gate on
+      it waits forever for a window that no longer exists.
+    - ``probe_pair_ratio`` = multi(N_BIG)/multi(N_SMALL) — the quantity
+      a FAIR PAIR actually requires: per-process speed at the wide
+      config's concurrency vs at the narrow config's. The turbo-single
+      baseline cancels out. Measured while the old ratio sat at 1.45-2.2,
+      this was 1.07 (0.694s@8-way vs 0.647s@2-way) — and a timed pair in
+      exactly that window scored 0.828 efficiency with both sides >0.89
+      busy, confirming per-thread speed parity is what makes a pair
+      meaningful, not concurrent-vs-turbo-single parity."""
     single = min(_speed_probe() for _ in range(2))
-    multi = _speed_probe_multi()
+    multi_small = _speed_probe_multi(N_SMALL) if N_SMALL > 1 else single
+    multi_big = _speed_probe_multi(N_BIG)
     rec = {
         "probe_single_sec": round(single, 4),
-        "probe_multi8_worst_sec": round(multi, 4),
-        "probe_ratio": round(multi / single, 3),
+        f"probe_multi{N_SMALL}_worst_sec": round(multi_small, 4),
+        f"probe_multi{N_BIG}_worst_sec": round(multi_big, 4),
+        "probe_ratio": round(multi_big / single, 3),
+        "probe_pair_ratio": round(multi_big / multi_small, 3),
     }
     try:
         os.makedirs(os.path.dirname(_CALIB_PATH), exist_ok=True)
@@ -128,17 +144,24 @@ def _probe_once() -> dict:
 
 def _wait_quiet(max_wait_sec: int) -> dict:
     """Optionally (SPARK_GRAFT_SCALE_WAIT_QUIET=1) hold the next timed pair
-    until the concurrency ratio drops under SPARK_GRAFT_SCALE_QUIET_RATIO
-    (default 1.35), up to ``max_wait_sec`` — measuring in a known-throttled
-    window wastes an hour to produce a number about the hypervisor. Returns
-    the probe record either way; never blocks unless opted in."""
+    until the host window is FAIR for a pair, up to ``max_wait_sec``.
+    Fairness gate = ``probe_pair_ratio`` (per-process speed at N_BIG-way vs
+    N_SMALL-way concurrency) under SPARK_GRAFT_SCALE_QUIET_RATIO (default
+    1.25). The original multi/single gate is retired from gating (kept in
+    the record): once the hypervisor started turbo-boosting lone processes,
+    multi/single never fell below 1.449 again (91 samples / 14h), so gating
+    on it blocked forever — while pairs measured in those same windows
+    scored 0.828 with both configs >0.89 busy. What a pair needs is equal
+    per-thread speed at both of ITS concurrency levels, which the pair
+    ratio measures directly. Returns the probe record either way; never
+    blocks unless opted in."""
     rec = _probe_once()
     rec["waited_sec"] = 0
     if os.environ.get("SPARK_GRAFT_SCALE_WAIT_QUIET", "0") != "1":
         return rec
-    bar = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_RATIO", "1.35"))
+    bar = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_RATIO", "1.25"))
     t0 = time.time()
-    while rec["probe_ratio"] > bar and time.time() - t0 < max_wait_sec:
+    while rec["probe_pair_ratio"] > bar and time.time() - t0 < max_wait_sec:
         time.sleep(120)
         rec = _probe_once()
         rec["waited_sec"] = int(time.time() - t0)
@@ -214,6 +237,13 @@ def worker(
         extra_conf={
             "spark.local.dir": shuffle_dir,  # spill off the slow virtio
             "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            # resource-per-core PARITY between the pair's two configs: a
+            # cluster of 4N cores brings 4x aggregate RAM, so local[4N]
+            # must too. get_spark's default floors the heap at 16g, which
+            # hands local[2] 8g/core but local[8] only 2g/core — 4x the
+            # allocation pressure per heap-GB on the wide side, measured
+            # as pure GC-cycle inflation charged to "scaling".
+            "spark.driver.memory": f"{4 * cores}g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -313,6 +343,17 @@ def orchestrate() -> None:
     # (identical runs bimodal 30s/210s); RAM-backed IO isolates the ENGINE's
     # scaling from the device (a real cluster has NVMe + distributed FS)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # SPARK_GRAFT_SCALE_INPUT: reuse a previous run's generated changelog +
+    # oracle.json (the input is a pure function of EVENTS/URLS/SEED, so a
+    # relaunch after an orchestrator restart shouldn't burn ~45 min
+    # regenerating 48M identical events). The caller owns cleanup of a
+    # reused dir; only a dir this run created is removed at the end.
+    reuse = os.environ.get("SPARK_GRAFT_SCALE_INPUT", "")
+    if reuse and os.path.exists(os.path.join(reuse, "oracle.json")):
+        work = reuse
+        log_dir = os.path.join(work, "changelog")
+        _run_pairs(work, log_dir, owns_work=False)
+        return
     work = tempfile.mkdtemp(prefix="scale_input_", dir=base)
     log_dir = os.path.join(work, "changelog")
     spark = get_spark("scale-gen", cores=N_BIG)
@@ -336,7 +377,10 @@ def orchestrate() -> None:
         json.dump({"rows": int(n_exp), "hash": int(h_exp),
                    "cols": _ORACLE_COLS}, f)
     spark.stop()
+    _run_pairs(work, log_dir, owns_work=True)
 
+
+def _run_pairs(work: str, log_dir: str, owns_work: bool) -> None:
     # ADJACENT pairs, efficiency scored per pair: this VM shows intermittent
     # noisy-neighbor windows that flip on a ~12-minute scale (identical
     # sequential runs measured 45.7k and 83.0k ev/s 12 minutes apart), so an
@@ -459,14 +503,16 @@ def orchestrate() -> None:
     # all runs stay archived under BENCH/runs for the noise record
     _write_md(summary)
     print(json.dumps(summary))
-    shutil.rmtree(work, ignore_errors=True)
+    if owns_work:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _pairs_rows(s: dict) -> str:
     small_k, big_k = f"local[{N_SMALL}]", f"local[{N_BIG}]"
     lines = [
         f"| repeat | {small_k} ev/s | {big_k} ev/s | pair efficiency "
-        f"| {small_k} cpu | {big_k} cpu | host probe (multi/single ratio) |",
+        f"| {small_k} cpu | {big_k} cpu "
+        f"| host probe (pair ratio; multi/single ratio) |",
         "|---|---|---|---|---|---|---|",
     ]
     for p in s.get("pairs", []):
@@ -476,7 +522,8 @@ def _pairs_rows(s: dict) -> str:
                     if c else "—")
         pr = p.get("host_probe") or {}
         probe = (
-            f"{pr.get('probe_ratio', '?')} (waited {pr.get('waited_sec', 0)}s)"
+            f"{pr.get('probe_pair_ratio', '—')}; {pr.get('probe_ratio', '?')}"
+            f" (waited {pr.get('waited_sec', 0)}s)"
             if pr else "—"
         )
         lines.append(
@@ -576,16 +623,24 @@ budget — `local[N]` alone only bounds task slots, letting GC/shuffle/UDF
 threads spill onto extra host cores and inflate small-N throughput, which
 would understate true scaling.
 
-The per-pair "host probe" column is a concurrent-8-process CPU speed probe
-run immediately before each pair: ratio = worst concurrent copy / single
-copy of the same fixed loop. An unthrottled host runs concurrent copies at
-single-copy speed (ratio ≈ 1); this hypervisor's degraded windows measure
-ratio ≈ 2 while single-core speed stays nominal — exactly the failure mode
-that starves the wide config and collapses a pair's efficiency
-(`BENCH/runs/scaling-20260817-144812.json`: pairs 0.34-0.59 with local[8]
-busy only 0.73). With SPARK_GRAFT_SCALE_WAIT_QUIET=1 the protocol holds
-each timed pair until the ratio passes (default bar 1.35), so efficiency
-is measured about the ENGINE, in windows the probe proves comparable.
+The per-pair "host probe" column is a concurrent-process CPU speed probe
+run immediately before each pair. Two ratios are recorded: worst
+concurrent copy / single copy (the original window-quality number), and
+the PAIR ratio — worst per-process time at the wide config's concurrency /
+worst at the narrow config's. The original ratio detected the 20260817
+degraded windows (ratio ≈ 2 while single-core stayed nominal; pairs
+0.34-0.59 with local[8] busy only 0.73 in
+`BENCH/runs/scaling-20260817-144812.json`). On 20260818 it became
+structurally un-passable — 91 consecutive samples over 14h never measured
+below 1.449, because the hypervisor now turbo-boosts a LONE process and
+never grants that clock to concurrent ones — while per-process speed at
+2-way vs 8-way demand stayed within 7% (0.647s vs 0.694s) and a timed
+pair in exactly such a window scored 0.828 with both sides >0.89 busy.
+What makes a pair fair is equal per-thread speed at both of ITS
+concurrency levels, not concurrent-vs-turbo-single parity, so with
+SPARK_GRAFT_SCALE_WAIT_QUIET=1 the protocol now holds each timed pair
+until the PAIR ratio passes (default bar 1.25); both ratios stay in the
+record (`BENCH/probe_calibration.json`) for attribution.
 
 Per-pair results (adjacent runs, efficiency = (ev/s_4N / ev/s_N) / 4):
 

@@ -169,6 +169,7 @@ def merge_batch(
     channel: tuple[str, int] | None = None,
     lineage: dict[str, Any] | None = None,
     publish: bool = True,
+    derive: dict[str, Any] | None = None,
 ) -> MergeResult:
     """Apply a LWW-deduped CDC batch (one row per key) to the table.
 
@@ -204,6 +205,16 @@ def merge_batch(
     partial aggregation already caps per-key reducer input at one row per map
     partition, so the salt phase (an extra shuffle) is only worth it for
     pathological single-key skew; default off.
+
+    derive: optional {column: Column} of DERIVED schema columns computed
+    AFTER the bucket exchange, in the write tasks — the column rides the
+    shuffle as whatever cheap placeholder the batch carries (typically a
+    typed null) instead of its materialized value. For wide derived columns
+    (extracted text ≈ the html it came from) this nearly halves shuffle
+    bytes, which is pure memory-bandwidth at high core counts. mor only:
+    cow folds base rows by LWW, so a placeholder could win a fold and
+    persist — there derive is applied BEFORE the merge (no bandwidth win,
+    same result). Keys must be current-schema columns.
     """
     m = table.manifest()
     if _already_applied(m, batch_id, window, channel):
@@ -227,6 +238,23 @@ def merge_batch(
         F.col(lsn_col).cast("long").alias("_lsn"),
         (F.col(op_col) == "D").alias("_deleted"),
     ).withColumn("_b", bucket_expr(key, m.n_buckets))
+
+    if derive:
+        unknown = set(derive) - set(data_cols)
+        if unknown:
+            raise ValueError(
+                f"derive targets {sorted(unknown)} are not current-schema "
+                f"columns of {table.path}"
+            )
+        if mode == "cow":
+            # cow folds the batch against BASE rows that already carry real
+            # values; materialize up front so its write path (which this
+            # hook does not reach) never persists a placeholder. mor's
+            # pre_reduce is safe to defer: lww_dedup keeps whole winner
+            # rows, and the winner's html still rides to the write task.
+            for name, expr in derive.items():
+                batch_full = batch_full.withColumn(name, expr)
+            derive = None
 
     if mode == "cow":
         return _merge_cow(
@@ -260,8 +288,17 @@ def merge_batch(
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
     _ensure_stats_friendly_writes(spark)
+    write_df = to_write.repartition(F.col("_b"))
+    if derive:
+        # computed ABOVE the exchange: the shuffle moved the placeholder,
+        # the write tasks materialize the real value (plan-audited in
+        # tests/test_round4_fixes.py — the Python-UDF eval node must sit
+        # on the write side of the Exchange)
+        for name, expr in derive.items():
+            write_df = write_df.withColumn(name, expr)
+        write_df = write_df.select(*full_cols, "_b")
     (
-        to_write.repartition(F.col("_b"))
+        write_df
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(staging)

@@ -108,13 +108,22 @@ def replay(
             else:
                 proj.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         batch = window_df.select(*proj, F.col("op"), F.col("lsn").alias("_lsn"))
+        derive = None
         if extract_text_from_html and "text" in [f.name for f in cur_fields]:
             # the engine's own text derivation (input_hint §2.8): Arrow
             # pandas UDF over the html payload; output must be byte-identical
             # per url to the oracle's expected text
             from embulk_input_marketo_spark.functions.textops import extract_text
 
-            batch = batch.withColumn("text", extract_text(F.col("html")))
+            if mode == "mor":
+                # defer to the write tasks (merge_batch derive=) so the
+                # bucket shuffle carries a null placeholder, not a second
+                # copy of ~the html bytes — shuffle width is the engine's
+                # memory-bandwidth hot spot at high core counts
+                derive = {"text": extract_text(F.col("html"))}
+                batch = batch.withColumn("text", F.lit(None).cast("string"))
+            else:
+                batch = batch.withColumn("text", extract_text(F.col("html")))
         if mode == "cow":
             # CoW folds base data every commit — pre-reduce to one row per
             # key first so the union the merge reduces over stays small
@@ -137,6 +146,7 @@ def replay(
             checkpoint={"hwm_lsn": hi},
             window=(lo, hi),
             lineage={"lsn_lo": lo, "lsn_hi": hi, "source": "changelog"},
+            derive=derive,
         )
         report.batches.append(result)
         if result.applied:

@@ -767,3 +767,119 @@ class TestManifestFileStats:
                 for r in table.lookup(spark, "k5").collect()] == [
             ("k5", 99.0)
         ]
+
+
+class TestDeriveAfterExchange:
+    """merge_batch(derive=...): derived schema columns compute ABOVE the
+    bucket exchange, in the write tasks — the shuffle moves a placeholder,
+    not the materialized value (the bandwidth win replay uses for derived
+    text). Values must be identical to pre-computing them."""
+
+    HSCHEMA = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def _hbatch(self, spark, n, lsn0=0):
+        return spark.createDataFrame(
+            [
+                Row(
+                    url=f"u{i % 7}",
+                    warc_ts=datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(seconds=lsn0 + i),
+                    html=f"<body>doc {lsn0 + i}</body>".encode(),
+                    text=None,  # placeholder: real value derived in-merge
+                    op="U",
+                    lsn=lsn0 + i,
+                )
+                for i in range(n)
+            ],
+            schema=T.StructType(
+                self.HSCHEMA.fields
+                + [T.StructField("op", T.StringType()),
+                   T.StructField("lsn", T.LongType())]
+            ),
+        )
+
+    def test_plan_puts_udf_eval_above_exchange(self, spark):
+        """The construction merge_batch uses — repartition(_b) then
+        withColumn(udf) — must plan the Python eval node on the write side
+        of the Exchange (top of toString), or the 'win' ships full text."""
+        from embulk_input_marketo_spark.functions.textops import extract_text
+
+        df = spark.range(64).select(
+            F.concat(F.lit("<body>t"), F.col("id").cast("string"),
+                     F.lit("</body>")).alias("html"),
+            (F.col("id") % 8).alias("_b"),
+        )
+        shaped = df.repartition(F.col("_b")).withColumn(
+            "text", extract_text(F.col("html"))
+        )
+        plan = shaped._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+        udf_node = "ArrowEvalPython" if "ArrowEvalPython" in plan else "EvalPython"
+        assert udf_node in plan
+        assert plan.index(udf_node) < plan.index("Exchange")
+
+    def test_mor_derive_matches_precomputed(self, spark, tmp_path):
+        from embulk_input_marketo_spark.functions.textops import extract_text
+
+        t_derive = LakeTable.create(
+            str(tmp_path / "d"), self.HSCHEMA, key_col="url",
+            lww_major="warc_ts", n_buckets=4,
+        )
+        merge_batch(
+            spark, t_derive, self._hbatch(spark, 40),
+            batch_id="b0", lsn_col="lsn",
+            derive={"text": extract_text(F.col("html"))},
+        )
+        # second generation so the read-time LWW reduce also sees derived rows
+        merge_batch(
+            spark, t_derive, self._hbatch(spark, 10, lsn0=40),
+            batch_id="b1", lsn_col="lsn",
+            derive={"text": extract_text(F.col("html"))},
+        )
+        pre = self._hbatch(spark, 40).unionByName(
+            self._hbatch(spark, 10, lsn0=40)
+        ).withColumn("text", extract_text(F.col("html")))
+        from embulk_input_marketo_spark.operators.dedup import lww_dedup
+
+        expected = {
+            r["url"]: r["text"]
+            for r in lww_dedup(pre, key_cols="url",
+                               order_cols=["warc_ts", "lsn"]).collect()
+        }
+        got = {r["url"]: r["text"] for r in t_derive.read(spark).collect()}
+        assert got == expected
+        assert all(v and v.startswith("doc ") for v in got.values())
+
+    def test_cow_derive_materializes_before_fold(self, spark, tmp_path):
+        from embulk_input_marketo_spark.functions.textops import extract_text
+
+        t = LakeTable.create(
+            str(tmp_path / "c"), self.HSCHEMA, key_col="url",
+            lww_major="warc_ts", n_buckets=4,
+        )
+        merge_batch(
+            spark, t, self._hbatch(spark, 12),
+            batch_id="b0", lsn_col="lsn", mode="cow",
+            derive={"text": extract_text(F.col("html"))},
+        )
+        got = {r["url"]: r["text"] for r in t.read(spark).collect()}
+        assert got and all(v and v.startswith("doc ") for v in got.values())
+
+    def test_unknown_derive_target_raises(self, spark, tmp_path):
+        t = LakeTable.create(
+            str(tmp_path / "u"), self.HSCHEMA, key_col="url",
+            lww_major="warc_ts", n_buckets=2,
+        )
+        with pytest.raises(ValueError, match="not current-schema"):
+            merge_batch(
+                spark, t, self._hbatch(spark, 4),
+                batch_id="b0", lsn_col="lsn",
+                derive={"nope": F.lit("x")},
+            )

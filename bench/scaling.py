@@ -22,6 +22,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import shutil
@@ -352,6 +353,10 @@ def orchestrate() -> None:
     if reuse and os.path.exists(os.path.join(reuse, "oracle.json")):
         work = reuse
         log_dir = os.path.join(work, "changelog")
+        # scrub the prior run's result files: a worker overwrites its own
+        # out file, but a stale one must never be readable as if fresh
+        for stale in glob.glob(os.path.join(work, "r*_*.json*")):
+            os.unlink(stale)
         _run_pairs(work, log_dir, owns_work=False)
         return
     work = tempfile.mkdtemp(prefix="scale_input_", dir=base)

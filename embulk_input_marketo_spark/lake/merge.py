@@ -288,6 +288,24 @@ def merge_batch(
     new_version = m.version + 1
     staging = table.snapshot_staging_dir(new_version)
     _ensure_stats_friendly_writes(spark)
+    # Overprovision the bucket exchange's INITIAL partition count and let
+    # AQE coalesce by bytes: hashing n_buckets distinct _b values into
+    # spark.sql.shuffle.partitions bins collides (64 buckets into 32
+    # partitions → some write task owns 3-4 whole buckets = 2x the mean
+    # work), and the write stage is the one carrying parquet encoding +
+    # any derive UDF — its straggler tail idles every other core. With
+    # 8x n_buckets initial partitions collisions are rare (tasks ≈ one
+    # bucket each, uniform because keys hash uniformly into buckets); AQE
+    # then merges small/empty granules toward its advisory byte target,
+    # so tiny batches collapse to a few tasks instead of paying thousands
+    # of empty-task launches. Files per commit stay one per touched
+    # bucket. Conf is scoped to this write and restored.
+    init_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        prev_init = spark.conf.get(init_key)
+    except Exception:
+        prev_init = None
+    spark.conf.set(init_key, str(8 * m.n_buckets))
     write_df = to_write.repartition(F.col("_b"))
     if derive:
         # computed ABOVE the exchange: the shuffle moved the placeholder,
@@ -297,12 +315,18 @@ def merge_batch(
         for name, expr in derive.items():
             write_df = write_df.withColumn(name, expr)
         write_df = write_df.select(*full_cols, "_b")
-    (
-        write_df
-        .write.mode("overwrite")
-        .partitionBy("_b")
-        .parquet(staging)
-    )
+    try:
+        (
+            write_df
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(staging)
+        )
+    finally:
+        if prev_init is None:
+            spark.conf.unset(init_key)
+        else:
+            spark.conf.set(init_key, prev_init)
     try:
         got = obs.get
         rows_in = int(got["rows_in"])

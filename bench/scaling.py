@@ -78,6 +78,43 @@ _PROBE_SRC = (
 )
 
 
+_MEM_PROBE_SRC = (
+    "import time, numpy as np\n"
+    "a = np.ones(32_000_000)\n"  # 256 MB of float64
+    "a.sum()\n"                  # first touch (page-in) outside the clock
+    "t0 = time.perf_counter()\n"
+    "s = 0.0\n"
+    "for _ in range(8): s += a.sum()\n"  # streams 2 GB through memory
+    "print(time.perf_counter() - t0)"
+)
+
+
+def _mem_probe_multi(n: int) -> float:
+    """Worst per-process time of a MEMORY-STREAMING loop at n-way
+    concurrency. The integer probe above is register-bound — it measures
+    per-core CLOCK parity and is blind to the resource a data engine
+    actually saturates: memory bandwidth. A CDC replay moves every event's
+    bytes through scan → Arrow → shuffle → parquet encode (all memcpy-like
+    on tmpfs); if the hypervisor caps per-VM bandwidth below N_BIG-way
+    demand, per-thread speed at the wide config collapses while the integer
+    probe still reads ~1.0. mem_pair_ratio = worst@N_BIG / worst@N_SMALL
+    is the measured upper bound a fair pair can reach on THIS host
+    (efficiency ≈ 1/mem_pair_ratio when the engine is bandwidth-bound) —
+    a real 4N-executor cluster adds memory channels with the cores, which
+    no single box can emulate."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MEM_PROBE_SRC], stdout=subprocess.PIPE
+        )
+        for _ in range(n)
+    ]
+    times = []
+    for p in procs:
+        out, _ = p.communicate()
+        times.append(float(out.strip()))
+    return max(times)
+
+
 def _speed_probe_multi(n: int = 8) -> float:
     """The same loop on n CONCURRENT processes, worst per-process time.
     This is the probe that actually sees this hypervisor's failure mode:
@@ -122,12 +159,17 @@ def _probe_once() -> dict:
     single = min(_speed_probe() for _ in range(2))
     multi_small = _speed_probe_multi(N_SMALL) if N_SMALL > 1 else single
     multi_big = _speed_probe_multi(N_BIG)
+    mem_small = _mem_probe_multi(N_SMALL)
+    mem_big = _mem_probe_multi(N_BIG)
     rec = {
         "probe_single_sec": round(single, 4),
         f"probe_multi{N_SMALL}_worst_sec": round(multi_small, 4),
         f"probe_multi{N_BIG}_worst_sec": round(multi_big, 4),
         "probe_ratio": round(multi_big / single, 3),
         "probe_pair_ratio": round(multi_big / multi_small, 3),
+        f"mem_multi{N_SMALL}_worst_sec": round(mem_small, 4),
+        f"mem_multi{N_BIG}_worst_sec": round(mem_big, 4),
+        "mem_pair_ratio": round(mem_big / mem_small, 3),
     }
     try:
         os.makedirs(os.path.dirname(_CALIB_PATH), exist_ok=True)
@@ -161,8 +203,16 @@ def _wait_quiet(max_wait_sec: int) -> dict:
     if os.environ.get("SPARK_GRAFT_SCALE_WAIT_QUIET", "0") != "1":
         return rec
     bar = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_RATIO", "1.25"))
+    # second gate axis: per-process MEMORY-STREAM speed parity between the
+    # pair's two concurrency levels (see _mem_probe_multi — the resource a
+    # data engine actually saturates; 1/mem_pair_ratio upper-bounds a
+    # bandwidth-bound pair's efficiency). 0 disables.
+    mem_bar = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_MEM_RATIO", "0"))
     t0 = time.time()
-    while rec["probe_pair_ratio"] > bar and time.time() - t0 < max_wait_sec:
+    while (
+        rec["probe_pair_ratio"] > bar
+        or (mem_bar > 0 and rec["mem_pair_ratio"] > mem_bar)
+    ) and time.time() - t0 < max_wait_sec:
         time.sleep(120)
         rec = _probe_once()
         rec["waited_sec"] = int(time.time() - t0)

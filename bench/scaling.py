@@ -156,11 +156,17 @@ def _probe_once() -> dict:
       exactly that window scored 0.828 efficiency with both sides >0.89
       busy, confirming per-thread speed parity is what makes a pair
       meaningful, not concurrent-vs-turbo-single parity."""
+    import statistics as _st
+
     single = min(_speed_probe() for _ in range(2))
     multi_small = _speed_probe_multi(N_SMALL) if N_SMALL > 1 else single
     multi_big = _speed_probe_multi(N_BIG)
-    mem_small = _mem_probe_multi(N_SMALL)
-    mem_big = _mem_probe_multi(N_BIG)
+    # median-of-3 per level: a single 0.3s memory-stream sample misreads
+    # this host (adjacent samples measured ratios 0.62 and 1.70 — both
+    # implausible as sustained grants); a misclassified window costs a
+    # 10-minute discarded pair, so ~4s of extra probing pays for itself
+    mem_small = _st.median(_mem_probe_multi(N_SMALL) for _ in range(3))
+    mem_big = _st.median(_mem_probe_multi(N_BIG) for _ in range(3))
     rec = {
         "probe_single_sec": round(single, 4),
         f"probe_multi{N_SMALL}_worst_sec": round(multi_small, 4),
@@ -758,6 +764,19 @@ pair efficiency tracked the BANDWIDTH grant, not the clock grant
 (0.658 and 0.838 pairs under near-identical cpu ratios). A real 4N
 cluster adds memory channels with its cores; a single box cannot, so
 1/mem_pair_ratio upper-bounds a bandwidth-bound pair on this host.
+
+A note on the efficiency/throughput interaction across rounds: round 3's
+engine measured 232k ev/s at local[8] and a 0.839 median pair; round 4's
+measured up to 663k ev/s at local[8] (2.9x) after removing per-event CPU
+work (derived columns computed above the bucket exchange halved shuffle
+bytes; AQE-balanced write granules removed the straggler tail). Making
+the engine faster per event pushes the wide config INTO the host's
+bandwidth cap — the same optimization that raises absolute throughput at
+both sizes lowers the single-box efficiency number when the cap binds,
+which is a property of the sandbox, not of the plan shape: none of the
+changes added a shuffle, a serial stage, or skew. Both absolute
+throughputs and every pair stay in the archive so the tradeoff is
+inspectable.
 SPARK_GRAFT_SCALE_QUIET_MEM_RATIO adds the memory axis to the
 quiet-window gate.
 

@@ -246,6 +246,16 @@ def merge_batch(
                 f"derive targets {sorted(unknown)} are not current-schema "
                 f"columns of {table.path}"
             )
+        # the bucket id and the LWW order were computed from the PRE-shuffle
+        # values; re-deriving either after the exchange would silently
+        # desynchronize a row from its bucket / its dedup ordering
+        protected = {key, m.lww_major} & set(derive)
+        if protected:
+            raise ValueError(
+                f"derive may not target the merge key or lww major "
+                f"{sorted(protected)}: bucketing and LWW order are computed "
+                "before the exchange"
+            )
         if mode == "cow":
             # cow folds the batch against BASE rows that already carry real
             # values; materialize up front so its write path (which this

@@ -883,3 +883,15 @@ class TestDeriveAfterExchange:
                 batch_id="b0", lsn_col="lsn",
                 derive={"nope": F.lit("x")},
             )
+
+    def test_derive_key_or_major_raises(self, spark, tmp_path):
+        t = LakeTable.create(
+            str(tmp_path / "k"), self.HSCHEMA, key_col="url",
+            lww_major="warc_ts", n_buckets=2,
+        )
+        with pytest.raises(ValueError, match="merge key or lww major"):
+            merge_batch(
+                spark, t, self._hbatch(spark, 4),
+                batch_id="b0", lsn_col="lsn",
+                derive={"url": F.lower(F.col("url"))},
+            )

@@ -116,6 +116,82 @@ def boilerplate_shingles(
     )
 
 
+def remove_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-LINE removal — the APPLY side of boilerplate
+    detection (the FineWeb/CCNet line-dedup stage: strip lines that appear
+    in ≥ ``min_docs`` distinct documents — cookie banners, copyright
+    footers, nav text — and keep everything else in original order).
+    ``boilerplate_shingles`` above flags documents; this rewrites them.
+
+    Output: (id_col, clean_text, n_lines, n_removed). Lines whose
+    NORMALIZED form (trim/lower/collapse-ws) is shorter than ``min_chars``
+    are never counted and never removed — blank/whitespace lines are
+    document structure, not boilerplate, no matter how common.
+    ``n_removed`` counts removed line INSTANCES (a doc carrying the same
+    banner twice loses both).
+
+    Scale shape (what shuffles at 100 TB):
+    - line frequency: distinct (doc, 8-byte line-hash) pairs then a
+      map-side-combined count — line STRINGS never leave their row.
+    - removal decision: a left-semi join of skinny (doc, pos, hash) rows
+      against the flagged hash set; the flagged side is the boilerplate
+      catalogue (tiny in practice → AQE converts to broadcast; a line
+      present in every doc is exactly AQE's skew-split case on the SMJ
+      path).
+    - reconstruction is ROW-LOCAL: per-doc removed positions (a scalar int
+      array) join back onto the ORIGINAL table and an indexed
+      filter-over-split rebuilds the text from the doc's own column —
+      the corpus text crosses at most one doc_id exchange (none when the
+      removals side broadcasts), never a per-line shuffle.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line")
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("_line"))), r"\s+", " ")
+    eligible = (
+        lines.select(id_col, "_pos", norm.alias("_norm"))
+        .where(F.length("_norm") >= min_chars)
+        .select(id_col, "_pos", F.xxhash64("_norm").alias("_h"))
+    )
+    dfreq = (
+        eligible.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    flagged = dfreq.where(F.col("_df") >= min_docs).select("_h")
+    removed = (
+        eligible.join(flagged, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("_pos")).alias("_rm"),
+            F.count(F.lit(1)).alias("_n_removed"),
+        )
+    )
+    return df.join(removed, id_col, "left").select(
+        id_col,
+        F.when(F.col("_rm").isNull(), F.col(text_col))
+        .otherwise(
+            F.concat_ws(
+                "\n",
+                F.filter(
+                    F.split(F.col(text_col), "\n"),
+                    lambda x, i: ~F.array_contains(F.col("_rm"), i),
+                ),
+            )
+        )
+        .alias("clean_text"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1995,6 +1995,82 @@ def _sql_boilerplate_passages() -> str:
     """
 
 
+_RRL_BANNER = "We use cookies to improve your experience - accept all cookies"
+_RRL_FOOTER = "Copyright 2026 Example Corp - all rights reserved"
+
+
+def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line removal (the FineWeb/CCNet line-dedup APPLY stage):
+    strip lines occurring in ≥3 distinct docs, keep the rest in order.
+    Fixture plants a cookie banner on every 5th doc (twice on every 50th —
+    instance-count removal), a copyright footer on every 3rd, and a
+    whitespace-only trailing line on EVERY doc that must survive (blank
+    lines are structure, not boilerplate, regardless of frequency)."""
+    from embulk_input_marketo_spark.operators.dedup_docs import (
+        remove_repeated_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_RRL_BANNER + "\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 50 == 0, F.lit("\n" + _RRL_BANNER))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _RRL_FOOTER))
+            .otherwise(F.lit("")),
+            F.lit("\n   "),
+        ).alias("text"),
+    )
+    return remove_repeated_lines(
+        fixture, text_col="text", id_col="doc_id", min_docs=3
+    )
+
+
+def _sql_remove_repeated_lines() -> str:
+    return rf"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{_RRL_BANNER}' || chr(10) ELSE '' END
+             || text
+             || CASE WHEN doc_id % 50 = 0
+                     THEN chr(10) || '{_RRL_BANNER}' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || '{_RRL_FOOTER}' ELSE '' END
+             || chr(10) || '   ' AS text
+      FROM documents
+    ), split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM raw
+    ), lines AS (
+      SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line
+      FROM split
+    ), normed AS (
+      SELECT doc_id, pos, line,
+             regexp_replace(TRIM(lower(line)), '\s+', ' ', 'g') AS norm
+      FROM lines
+    ), flagged AS (
+      SELECT norm FROM normed
+      WHERE length(norm) >= 1
+      GROUP BY norm HAVING COUNT(DISTINCT doc_id) >= 3
+    ), marked AS (
+      SELECT n.doc_id, n.pos, n.line,
+             length(n.norm) >= 1
+             AND n.norm IN (SELECT norm FROM flagged) AS rm
+      FROM normed n
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT rm), '') AS clean_text,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+    FROM marked
+    GROUP BY doc_id
+    """
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition metrics (the Gopher-rules quality family):
     duplicate-word fraction + most-common-bigram mass per doc."""
@@ -2985,6 +3061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "sessionize_split": q_sessionize_split,
     "boilerplate_passages": q_boilerplate_passages,
+    "remove_repeated_lines": q_remove_repeated_lines,
     "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination_check,
@@ -3062,6 +3139,7 @@ ORACLES: dict[str, str] = {
     # split variant answers the same question; same oracle
     "sessionize_split": _sql_sessionize(),
     "boilerplate_passages": _sql_boilerplate_passages(),
+    "remove_repeated_lines": _sql_remove_repeated_lines(),
     "doc_repetition": _sql_doc_repetition(),
     "stratified_sample": _sql_stratified_sample(),
     "contamination_check": _sql_contamination_check(),

@@ -542,3 +542,68 @@ class TestTrainingShards:
         # partition filter present and only shard 3's rows survive
         assert all(r["shard_id"] == 3 for r in df.collect())
         assert "shard_id" in plan
+
+
+class TestRemoveRepeatedLines:
+    def _corpus(self, spark):
+        banner = "We use cookies here"
+        rows = [
+            # docs 0-3 all carry the banner (df=4 >= 3) -> removed
+            (0, banner + "\nalpha unique body zero\n   "),
+            (1, banner + "\nbeta unique body one\n   "),
+            (2, banner + "\ngamma unique body two\n   "),
+            # doc 3 carries it TWICE -> both instances removed
+            (3, banner + "\ndelta unique body three\n" + banner + "\n   "),
+            # doc 4 has no boilerplate -> byte-identical passthrough
+            (4, "epsilon unique body four\n   "),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_removal_keeps_order_and_blank_lines(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in dedup_docs.remove_repeated_lines(
+                self._corpus(spark), min_docs=3
+            ).collect()
+        }
+        assert out[0]["clean_text"] == "alpha unique body zero\n   "
+        assert out[0]["n_removed"] == 1 and out[0]["n_lines"] == 3
+        # whitespace-only line appears in ALL docs but is never removed
+        assert out[1]["clean_text"].endswith("\n   ")
+
+    def test_instance_count_removal(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in dedup_docs.remove_repeated_lines(
+                self._corpus(spark), min_docs=3
+            ).collect()
+        }
+        assert out[3]["n_removed"] == 2
+        assert out[3]["clean_text"] == "delta unique body three\n   "
+
+    def test_untouched_doc_is_byte_identical(self, spark):
+        src = self._corpus(spark)
+        out = {
+            r["doc_id"]: r
+            for r in dedup_docs.remove_repeated_lines(src, min_docs=3).collect()
+        }
+        original = {r["doc_id"]: r["text"] for r in src.collect()}
+        assert out[4]["clean_text"] == original[4]
+        assert out[4]["n_removed"] == 0
+
+    def test_min_chars_protects_short_lines(self, spark):
+        rows = [(i, "ok\nunique line %d" % i) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup_docs.remove_repeated_lines(
+            df, min_docs=3, min_chars=3
+        ).collect()
+        assert all(r["n_removed"] == 0 for r in out)
+        # with the guard off, the common short line goes
+        out2 = {
+            r["doc_id"]: r
+            for r in dedup_docs.remove_repeated_lines(
+                df, min_docs=3, min_chars=1
+            ).collect()
+        }
+        assert all(r["n_removed"] == 1 for r in out2.values())
+        assert out2[0]["clean_text"] == "unique line 0"

@@ -54,6 +54,7 @@ HEADLINE = [
     "url_normalize",
     "top_words",
     "boilerplate_passages",
+    "remove_repeated_lines",
     "doc_repetition",
     "stratified_sample",
     "contamination_check",

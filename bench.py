@@ -33,6 +33,7 @@ CDC_URLS = max(CDC_EVENTS // 20, 1000)
 
 HEADLINE = [
     "cdc_final_state",
+    "key_exists_probe",
     "cdc_changes_feed",
     "lww_dedup",
     "incremental_window",

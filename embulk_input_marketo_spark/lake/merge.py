@@ -153,6 +153,76 @@ def _commit_bookkeeping(
     return live, new_ckpt
 
 
+def _bloom_ptr_updates(
+    spark: SparkSession,
+    table: LakeTable,
+    m,
+    new_files: dict[str, list[dict]],
+    version: int,
+    mode: str = "union",
+    n_buckets: int | None = None,
+) -> dict[str, str]:
+    """Incremental per-bucket key-bloom maintenance (lake/bloom.py) for the
+    buckets this commit touched — {} when blooms aren't enabled.
+
+    The delta is computed by ONE narrow Spark job over the key column of
+    the files the commit just wrote (never a recompute of the batch plan,
+    never a driver loop over rows).
+
+    ``mode='union'`` (MoR appends): the new files hold only the BATCH's
+    keys, so the delta ORs into the bucket's existing bloom. Only buckets
+    whose bloom stays COMPLETE are maintained — an existing pointer, or a
+    brand-new bucket (no prior data). A bucket with prior data but no bloom
+    stays bloomless (probes fall back to reading it) until
+    ``enable_key_blooms`` backfills — a partial bloom would turn "definitely
+    absent" into a lie.
+
+    ``mode='rebuild'`` (CoW folds / compaction / full rewrites): the new
+    files ARE the bucket's complete content (LWW folding keeps one row per
+    key and tombstones keep their keys), so a fresh bloom replaces the old
+    one — shedding keys vacuumed before the fold and keeping the filter
+    tight. ``n_buckets`` overrides the OLD manifest's count for rebuilds
+    that change the layout (rehash)."""
+    if not m.bloom_conf:
+        return {}
+    from embulk_input_marketo_spark.lake import bloom as B
+    from pyspark.sql import types as T
+
+    m_bits = int(m.bloom_conf["m_bits"])
+    k = int(m.bloom_conf["k"])
+    prior = set(m.files)
+    if mode == "union":
+        eligible = {
+            b for b in new_files if b in m.bloom_ptrs or b not in prior
+        }
+    else:
+        eligible = set(new_files)
+    paths = [e["path"] for b in eligible for e in new_files[b]]
+    if not paths:
+        return {}
+    key_field = m.current_schema()[m.key_col]
+    keyed = (
+        spark.read.schema(T.StructType([key_field])).parquet(*paths)
+        .select(
+            bucket_expr(m.key_col, n_buckets or m.n_buckets).alias("_b"),
+            *B.hash_cols(m.key_col),
+        )
+    )
+    deltas = B.build_bloom_deltas(keyed, m_bits, k)
+    updates: dict[str, str] = {}
+    for b, (bits, n) in deltas.items():
+        if mode == "union" and b in m.bloom_ptrs:
+            old_bits, _mb, _kk, old_n = B.load_bloom(
+                table.meta_dir, m.bloom_ptrs[b]
+            )
+            bits = B.union_bloom(old_bits, bits)
+            n += old_n
+        updates[b] = B.write_bloom_side(
+            table.meta_dir, version, b, bits, m_bits, k, n
+        )
+    return updates
+
+
 def merge_batch(
     spark: SparkSession,
     table: LakeTable,
@@ -369,6 +439,9 @@ def merge_batch(
         {bk: list(m.files.get(bk, [])) + entries
          for bk, entries in new_files.items()}
     )
+    bloom_updates = _bloom_ptr_updates(
+        spark, table, m, new_files, new_version, mode="union"
+    )
 
     applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, window, channel)
     nm = Manifest(
@@ -395,6 +468,8 @@ def merge_batch(
             "lineage": lineage or {},
         },
         committed_at=time.time(),
+        bloom_conf=dict(m.bloom_conf),
+        bloom_ptrs={**m.bloom_ptrs, **bloom_updates},
     )
     if not publish:
         # write-audit-publish: durable and auditable (table.read_staged),
@@ -478,6 +553,9 @@ def _merge_cow(
         files = m.files.with_updates(
             {str(b): new_files.get(str(b), []) for b in touched}
         )
+        bloom_updates = _bloom_ptr_updates(
+            spark, table, m, new_files, new_version, mode="rebuild"
+        )
         applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, window, channel)
         nm = Manifest(
             version=new_version,
@@ -504,6 +582,8 @@ def _merge_cow(
                 "lineage": lineage or {},
             },
             committed_at=time.time(),
+            bloom_conf=dict(m.bloom_conf),
+            bloom_ptrs={**m.bloom_ptrs, **bloom_updates},
         )
         if publish:
             table.commit(nm, staging)
@@ -589,6 +669,9 @@ def compact_buckets(
     files = m.files.with_updates(
         {str(b): new_files.get(str(b), []) for b in buckets}
     )
+    bloom_updates = _bloom_ptr_updates(
+        spark, table, m, new_files, new_version, mode="rebuild"
+    )
     nm = Manifest(
         version=new_version,
         parent=m.version,
@@ -603,6 +686,8 @@ def compact_buckets(
         checkpoint=m.checkpoint,
         summary={"operation": "compact", "buckets": [int(b) for b in buckets]},
         committed_at=time.time(),
+        bloom_conf=dict(m.bloom_conf),
+        bloom_ptrs={**m.bloom_ptrs, **bloom_updates},
     )
     table.commit(nm, staging)
     return new_version
@@ -640,11 +725,14 @@ def vacuum_tombstones(
     )
     from embulk_input_marketo_spark.lake.table import FileSet
 
-    files = FileSet.replace_all(
-        table.meta_dir,
-        _enumerate_bucket_files(staging, m.schema_version, new_version,
-                                reduced=True, stats_col=m.key_col,
-                                major_col=m.lww_major),
+    vac_files = _enumerate_bucket_files(
+        staging, m.schema_version, new_version, reduced=True,
+        stats_col=m.key_col, major_col=m.lww_major,
+    )
+    files = FileSet.replace_all(table.meta_dir, vac_files)
+    # full rewrite: blooms rebuilt wholesale (vacuumed keys leave the filter)
+    bloom_updates = _bloom_ptr_updates(
+        spark, table, m, vac_files, new_version, mode="rebuild"
     )
     nm = Manifest(
         version=new_version,
@@ -660,6 +748,8 @@ def vacuum_tombstones(
         checkpoint=m.checkpoint,
         summary={"operation": "vacuum_tombstones", "watermark": str(watermark_major)},
         committed_at=time.time(),
+        bloom_conf=dict(m.bloom_conf),
+        bloom_ptrs=bloom_updates,
     )
     table.commit(nm, staging)
     return new_version
@@ -709,11 +799,17 @@ def rehash_buckets(
     )
     from embulk_input_marketo_spark.lake.table import FileSet
 
-    files = FileSet.replace_all(
-        table.meta_dir,
-        _enumerate_bucket_files(staging, m.schema_version, new_version,
-                                reduced=True, stats_col=m.key_col,
-                                major_col=m.lww_major),
+    rh_files = _enumerate_bucket_files(
+        staging, m.schema_version, new_version, reduced=True,
+        stats_col=m.key_col, major_col=m.lww_major,
+    )
+    files = FileSet.replace_all(table.meta_dir, rh_files)
+    # bucket mapping changed: rebuild every bloom under the NEW layout in
+    # the same commit (stale per-bucket blooms would answer for the wrong
+    # key sets — replacement, never carry-forward, is the only sound option)
+    bloom_updates = _bloom_ptr_updates(
+        spark, table, m, rh_files, new_version, mode="rebuild",
+        n_buckets=new_n_buckets,
     )
     nm = Manifest(
         version=new_version,
@@ -733,6 +829,8 @@ def rehash_buckets(
             "to_n_buckets": new_n_buckets,
         },
         committed_at=time.time(),
+        bloom_conf=dict(m.bloom_conf),
+        bloom_ptrs=bloom_updates,
     )
     table.commit(nm, staging)
     return new_version

@@ -164,9 +164,17 @@ class Manifest:
     checkpoint: dict[str, Any]
     summary: dict[str, Any]
     committed_at: float
+    # per-bucket key bloom filters (lake/bloom.py) — absent by default;
+    # bloom_conf = {"m_bits", "k"} fixed at enable time, bloom_ptrs mirrors
+    # FileSet.ptrs (bucket -> side-file name, O(touched) writes per commit)
+    bloom_conf: dict[str, Any] = field(default_factory=dict)
+    bloom_ptrs: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = {k: v for k, v in self.__dict__.items() if k != "files"}
+        if not self.bloom_conf:
+            d.pop("bloom_conf", None)
+            d.pop("bloom_ptrs", None)
         if isinstance(self.files, FileSet):
             if self.files.pending:
                 raise ValueError(
@@ -234,7 +242,15 @@ class LakeTable:
         key_col: str = "url",
         lww_major: str = "warc_ts",
         n_buckets: int = 64,
+        bloom_bits: int = 0,
+        bloom_k: int = 7,
     ) -> "LakeTable":
+        """``bloom_bits`` > 0 enables per-bucket key blooms from birth
+        (lake/bloom.py) — every merge maintains them incrementally, so the
+        O(table) backfill of :meth:`enable_key_blooms` is never needed.
+        Size at ≥10 bits per expected key per bucket."""
+        if bloom_bits % 8:
+            raise ValueError("bloom_bits must be a multiple of 8")
         t = LakeTable(path)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -252,6 +268,9 @@ class LakeTable:
             checkpoint={"hwm_lsn": -1, "hwm_warc_ts": None},
             summary={"operation": "create"},
             committed_at=time.time(),
+            bloom_conf=(
+                {"m_bits": bloom_bits, "k": bloom_k} if bloom_bits else {}
+            ),
         )
         t._write_manifest(m)
         return t
@@ -499,11 +518,221 @@ class LakeTable:
                     "restored_from": target.version,
                 },
                 committed_at=time.time(),
+                bloom_conf=dict(target.bloom_conf),
+                bloom_ptrs=dict(target.bloom_ptrs),
             )
             self.commit(m)
             return m
 
         return retry_commit(attempt)
+
+    # ------------------------------------------------------------ key blooms
+    def enable_key_blooms(
+        self, spark: SparkSession, m_bits: int = 1 << 20, k: int | None = None
+    ) -> Manifest:
+        """Build per-bucket key bloom filters for the WHOLE table and commit
+        them (lake/bloom.py — the absent-key fast path). One distributed
+        index build: each bucket's key column is read (all generations
+        including tombstones — conservative), hashed JVM-side, folded into
+        a bitset per bucket by an Arrow numpy kernel. O(table) once, like
+        any index build; every later merge maintains its touched buckets'
+        blooms incrementally from the files it just wrote.
+
+        ``m_bits`` is FIXED for the table's lifetime (incremental union
+        needs equal sizes) — size it at ≥10 bits per expected key per
+        bucket (10^10 rows / 10^5 buckets → 10^5 keys → the 2^20 default
+        gives ~10 bits/key ≈ 1% false positives at k=7)."""
+        from embulk_input_marketo_spark.lake import bloom as B
+
+        if m_bits % 8:
+            raise ValueError("m_bits must be a multiple of 8")
+        k = k if k is not None else B.DEFAULT_K
+
+        def attempt() -> Manifest:
+            m = self.manifest()
+            raw = self._read_raw(spark, m, set(m.files), columns=[m.key_col])
+            keyed = raw.select(
+                bucket_expr(m.key_col, m.n_buckets).alias("_b"),
+                *B.hash_cols(m.key_col),
+            )
+            deltas = B.build_bloom_deltas(keyed, m_bits, k)
+            ptrs: dict[str, str] = {}
+            for b, (bits, n) in deltas.items():
+                ptrs[b] = B.write_bloom_side(
+                    self.meta_dir, m.version + 1, b, bits, m_bits, k, n
+                )
+            nm = Manifest(
+                version=m.version + 1,
+                parent=m.version,
+                key_col=m.key_col,
+                lww_major=m.lww_major,
+                n_buckets=m.n_buckets,
+                schema_version=m.schema_version,
+                schemas=m.schemas,
+                renames=m.renames,
+                files=m.files,
+                applied_batches=m.applied_batches,
+                checkpoint=m.checkpoint,
+                summary={
+                    "operation": "enable_key_blooms",
+                    "m_bits": m_bits,
+                    "k": k,
+                    "buckets": len(ptrs),
+                },
+                committed_at=time.time(),
+                bloom_conf={"m_bits": m_bits, "k": k},
+                bloom_ptrs=ptrs,
+            )
+            self.commit(nm)
+            return nm
+
+        return retry_commit(attempt)
+
+    def might_contain(
+        self, spark: SparkSession, key: Any, version: int | None = None
+    ) -> bool | None:
+        """Bloom-only membership probe: False = DEFINITELY absent (no data
+        file opened — O(one bloom) metadata), True = possibly present (read
+        to confirm), None = no bloom covers the key's bucket (unknown)."""
+        from embulk_input_marketo_spark.lake import bloom as B
+
+        m = self.manifest(version)
+        if not m.bloom_conf:
+            return None
+        key_t = m.current_schema()[m.key_col].dataType.simpleString()
+        row = (
+            spark.createDataFrame([(key,)], f"k {key_t}")
+            .select(
+                F.pmod(F.xxhash64(F.col("k")), F.lit(m.n_buckets))
+                .cast("int").alias("b"),
+                *B.hash_cols("k"),
+            )
+            .collect()[0]
+        )
+        ptr = m.bloom_ptrs.get(str(row["b"]))
+        if ptr is None:
+            # bucket has data but no (complete) bloom — unknown, must read
+            return None if str(row["b"]) in set(m.files) else False
+        bits, mb, kk, _n = B.load_bloom(self.meta_dir, ptr)
+        return B.might_contain(bits, mb, kk, row["_h1"], row["_h2"])
+
+    def exists_join(
+        self,
+        spark: SparkSession,
+        probes: DataFrame,
+        probe_col: str,
+        version: int | None = None,
+        max_bloom_broadcast_bytes: int = 256 << 20,
+    ) -> DataFrame:
+        """Distributed "which of these keys exist?" — the fetch-frontier
+        question at batch scale. Returns ``probes`` + boolean ``exists``
+        (exists = a LIVE row; tombstoned keys answer False).
+
+        Plan shape for 10^10 rows: (1) every probe hashes JVM-side to its
+        bucket + bloom positions; (2) the probed buckets' blooms broadcast
+        (bounded by ``max_bloom_broadcast_bytes`` — over it, the prefilter
+        is skipped, never partially applied) and an Arrow kernel drops
+        probes whose bucket bloom proves absence — for a mostly-new-urls
+        frontier that is MOST of them, before any data IO; (3) only
+        buckets still holding candidate probes are read (bucket pruning),
+        key column only, and a left-semi-style join flags the survivors.
+        Probes with NULL keys answer False."""
+        from embulk_input_marketo_spark.lake import bloom as B
+
+        m = self.manifest(version)
+        key_t = m.current_schema()[m.key_col].dataType
+        hashed = probes.withColumn(
+            "_pb",
+            F.pmod(F.xxhash64(F.col(probe_col).cast(key_t)), F.lit(m.n_buckets))
+            .cast("int"),
+        ).withColumn("_h1", F.xxhash64(F.col(probe_col).cast(key_t))).withColumn(
+            "_h2", F.xxhash64(F.col(probe_col).cast(key_t), F.lit(1))
+        )
+
+        pre = hashed
+        conf = m.bloom_conf
+        total_bloom_bytes = (
+            (conf.get("m_bits", 0) // 8) * len(m.bloom_ptrs) if conf else 0
+        )
+        if conf and 0 < total_bloom_bytes <= max_bloom_broadcast_bytes:
+            blooms = {
+                int(b): B.load_bloom(self.meta_dir, p)[0]
+                for b, p in m.bloom_ptrs.items()
+            }
+            buckets_with_data = {int(b) for b in set(m.files)}
+            m_bits, kk = int(conf["m_bits"]), int(conf["k"])
+            bblooms = spark.sparkContext.broadcast(
+                {b: v.tobytes() for b, v in blooms.items()}
+            )
+            bdata = spark.sparkContext.broadcast(buckets_with_data)
+
+            import numpy as _np
+            import pandas as _pd
+
+            @F.pandas_udf("boolean")
+            def _might(pb: _pd.Series, h1: _pd.Series, h2: _pd.Series) -> _pd.Series:
+                from embulk_input_marketo_spark.lake.bloom import (
+                    _positions, _test_bits,
+                )
+
+                out = _np.zeros(len(pb), dtype=bool)
+                bl = bblooms.value
+                dat = bdata.value
+                pbv = pb.to_numpy()
+                h1v = h1.to_numpy()
+                h2v = h2.to_numpy()
+                for b in _np.unique(pbv[~_pd.isna(pbv)]):
+                    sel = pbv == b
+                    bits = bl.get(int(b))
+                    if bits is None:
+                        # no bloom: unknown → candidate iff bucket has data
+                        out[sel] = int(b) in dat
+                        continue
+                    arr = _np.frombuffer(bits, dtype=_np.uint8)
+                    pos = _positions(h1v[sel], h2v[sel], m_bits, kk)
+                    out[sel] = _test_bits(arr, pos)
+                return _pd.Series(out)
+
+            pre = hashed.withColumn(
+                "_cand",
+                F.when(F.col(probe_col).isNull(), F.lit(False)).otherwise(
+                    _might("_pb", "_h1", "_h2")
+                ),
+            )
+        else:
+            pre = hashed.withColumn(
+                "_cand",
+                F.col(probe_col).isNotNull()
+                & F.col("_pb").cast("string").isin(*set(m.files))
+                if set(m.files)
+                else F.lit(False),
+            )
+
+        cand_buckets = [
+            r["_pb"]
+            for r in pre.where(F.col("_cand")).select("_pb").distinct().collect()
+        ]
+        if not cand_buckets:
+            return pre.select(*probes.columns, F.lit(False).alias("exists"))
+        keys = (
+            self.read(
+                spark, version=version, buckets=cand_buckets,
+                columns=[m.key_col],
+            )
+            .select(F.col(m.key_col).cast(key_t).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        joined = pre.join(
+            keys,
+            F.col(probe_col).cast(key_t).eqNullSafe(F.col("__k"))
+            & F.col("_cand"),
+            "left",
+        )
+        return joined.select(
+            *probes.columns,
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("exists"),
+        )
 
     def lookup(
         self,
@@ -516,15 +745,27 @@ class LakeTable:
         files, and within them the key equality predicate pushes into the
         parquet scan (compaction writes buckets key-sorted, so row-group
         min/max skip to the key). The read-time LWW reduce still applies
-        when the bucket holds unmerged delta generations."""
+        when the bucket holds unmerged delta generations.
+
+        With key blooms enabled (:meth:`enable_key_blooms`) an absent key
+        short-circuits to an empty result from the bucket's bloom alone —
+        no data file opened; the bucket id and both bloom hashes come from
+        the same single tiny job."""
+        from embulk_input_marketo_spark.lake import bloom as B
+
         m = self.manifest(version)
-        b = F.pmod(
-            F.xxhash64(F.lit(key).cast(
-                m.current_schema()[m.key_col].dataType
-            )),
-            F.lit(m.n_buckets),
-        ).cast("int")
-        bucket = spark.range(1).select(b.alias("b")).collect()[0]["b"]
+        kc = F.lit(key).cast(m.current_schema()[m.key_col].dataType)
+        row = spark.range(1).select(
+            F.pmod(F.xxhash64(kc), F.lit(m.n_buckets)).cast("int").alias("b"),
+            F.xxhash64(kc).alias("_h1"),
+            F.xxhash64(kc, F.lit(1)).alias("_h2"),
+        ).collect()[0]
+        bucket = row["b"]
+        ptr = m.bloom_ptrs.get(str(bucket)) if m.bloom_conf else None
+        if ptr is not None:
+            bits, mb, kk, _n = B.load_bloom(self.meta_dir, ptr)
+            if not B.might_contain(bits, mb, kk, row["_h1"], row["_h2"]):
+                return spark.createDataFrame([], m.current_schema())
         return self.read(
             spark, version=version, buckets=[bucket], key_eq=key
         ).where(F.col(m.key_col) == key)
@@ -751,13 +992,16 @@ class LakeTable:
         for m in retained:
             if isinstance(m.files, FileSet):
                 live_side.update(m.files.ptrs.values())
+            live_side.update(m.bloom_ptrs.values())
 
         removed = {"manifests": 0, "side_files": 0, "data_files": 0}
         for v in expired_versions:
             fsio.remove_file(self._manifest_path(v))
             removed["manifests"] += 1
         for name in fsio.list_dir(self.meta_dir):
-            if name.startswith("bucket-") and name not in live_side:
+            if (
+                name.startswith("bucket-") or name.startswith("keybloom-")
+            ) and name not in live_side:
                 fsio.remove_file(os.path.join(self.meta_dir, name))
                 removed["side_files"] += 1
 
@@ -1089,6 +1333,87 @@ class LakeTable:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         return df.select(*cols)
 
+    # ------------------------------------------------------- metadata tables
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg's ``table$snapshots`` as a DataFrame: one row per
+        retained snapshot — the operator's audit/debug surface (which
+        commit wrote how many rows, when, under which schema). O(versions)
+        driver work, like Iceberg's own metadata table."""
+        rows = [
+            (
+                m.version,
+                m.parent,
+                str(m.summary.get("operation", "")),
+                float(m.committed_at),
+                m.schema_version,
+                m.n_buckets,
+                len(m.applied_batches),
+                int(m.summary.get("rows_in", 0) or 0),
+                json.dumps(m.summary, default=str),
+            )
+            for m in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, parent long, operation string, committed_at "
+            "double, schema_version int, n_buckets int, applied_batches "
+            "int, rows_in long, summary string",
+        )
+
+    def files_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Iceberg's ``table$files``: one row per live data file of a
+        snapshot, with its bucket, generation, schema version and
+        manifest-recorded stats. DISTRIBUTED: the driver ships only the
+        per-bucket side-file POINTERS; executors read the JSON lists —
+        at 10⁵ buckets the driver never materializes the table's file
+        metadata (same discipline as the expiry orphan scan)."""
+        m = self.manifest(version)
+        meta_dir = self.meta_dir
+        work: list[tuple[str, str | None, str | None]] = []
+        if isinstance(m.files, FileSet):
+            for b, ptr in m.files.ptrs.items():
+                work.append((b, os.path.join(meta_dir, ptr), None))
+            for b, entries in m.files.pending.items():
+                work.append((b, None, json.dumps(entries)))
+        else:
+            for b in set(m.files):
+                work.append((b, None, json.dumps(m.files[b])))
+
+        schema = (
+            "bucket int, path string, sv int, v long, reduced boolean, "
+            "kmin string, kmax string, tmin long, tmax long"
+        )
+
+        def read_lists(items):
+            import json as _json
+            for b, ptr, inline in items:
+                entries = (
+                    _json.loads(inline) if inline is not None
+                    else _json.load(open(ptr))
+                )
+                for e in entries:
+                    yield (
+                        int(b),
+                        e.get("path"),
+                        int(e.get("sv", 0)),
+                        int(e.get("v", 0)),
+                        bool(e.get("reduced", True)),
+                        None if e.get("kmin") is None else str(e["kmin"]),
+                        None if e.get("kmax") is None else str(e["kmax"]),
+                        e.get("tmin"),
+                        e.get("tmax"),
+                    )
+
+        sc = spark.sparkContext
+        if not work:
+            return spark.createDataFrame([], schema)
+        par = max(1, min(len(work), sc.defaultParallelism))
+        return spark.createDataFrame(
+            sc.parallelize(work, par).mapPartitions(read_lists), schema
+        )
+
     def maintenance_plan(
         self,
         compact_generations: int = 4,
@@ -1217,6 +1542,8 @@ class LakeTable:
             checkpoint={**m.checkpoint, **(checkpoint_update or {})},
             summary=summary or {"operation": "evolve_schema", "changes": changes},
             committed_at=time.time(),
+            bloom_conf=dict(m.bloom_conf),
+            bloom_ptrs=dict(m.bloom_ptrs),
         )
         self._write_manifest(nm)
         return nm

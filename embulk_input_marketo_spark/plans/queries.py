@@ -3014,11 +3014,90 @@ def _sql_semantic_dedup() -> str:
     """
 
 
+def q_key_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-frontier membership check: replay the changelog into a
+    bloom-enabled lake, then ask "which of these urls exist (live)?" for a
+    probe set that is mostly ABSENT — the web-crawl shape. The engine path
+    is :meth:`LakeTable.exists_join`: per-bucket key blooms prove absence
+    from metadata alone, only buckets still holding candidates are read
+    (key column only), and tombstoned urls answer False.
+
+    Probe set (deterministic, from events): every user_id ≡ 0 (mod 3) as a
+    present-or-deleted probe, and the NEGATED user_ids ≡ 0 (mod 7) as
+    guaranteed-absent probes."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_bloom_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8, bloom_bits=1 << 17,
+    )
+    replay(spark, log, table, n_slices=2, salt_buckets=8)
+    ev = _t(spark, sf_dir, "events")
+    probes = (
+        ev.where(F.col("user_id") % 3 == 0)
+        .select(F.col("user_id").cast("string").alias("probe"))
+        .distinct()
+        .unionAll(
+            ev.where(F.col("user_id") % 7 == 0)
+            .select((-F.col("user_id")).cast("string").alias("probe"))
+            .distinct()
+        )
+    )
+    return table.exists_join(spark, probes, "probe").select(
+        "probe", F.col("exists").alias("is_present")
+    )
+
+
+def _sql_key_exists_probe() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS url, ts
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log
+    ), live AS (
+      SELECT url FROM latest WHERE rn = 1 AND op <> 'D'
+    ), probes AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS probe
+      FROM events WHERE user_id % 3 = 0
+      UNION ALL
+      SELECT DISTINCT CAST(-user_id AS VARCHAR)
+      FROM events WHERE user_id % 7 = 0
+    )
+    SELECT p.probe, (l.url IS NOT NULL) AS is_present
+    FROM probes p LEFT JOIN live l ON p.probe = l.url
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "key_exists_probe": q_key_exists_probe,
     "cdc_final_state": q_cdc_final_state,
     "lww_dedup": q_lww_dedup,
     "incremental_window": q_incremental_window,
@@ -3090,6 +3169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "key_exists_probe": _sql_key_exists_probe(),
     "cdc_final_state": _sql_cdc_final_state(),
     "lww_dedup": _sql_lww_dedup(),
     "incremental_window": _sql_incremental_window(),

@@ -163,6 +163,35 @@ def union_bloom(old: np.ndarray | None, delta: bytes) -> bytes:
     return np.bitwise_or(old, d).tobytes()
 
 
+def make_might_contain_udf(bblooms, bdata, m_bits: int, k: int):
+    """Arrow-batched membership prefilter for :meth:`LakeTable.exists_join`:
+    (bucket, h1, h2) → "might the table contain this key?". ``bblooms`` is a
+    broadcast {bucket: bloom bytes}, ``bdata`` a broadcast set of buckets
+    that hold data (a bucket with data but no bloom must stay a candidate —
+    unknown is never treated as absent)."""
+
+    @F.pandas_udf("boolean")
+    def _might(pb: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        out = np.zeros(len(pb), dtype=bool)
+        bl = bblooms.value
+        dat = bdata.value
+        pbv = pb.to_numpy()
+        h1v = h1.to_numpy()
+        h2v = h2.to_numpy()
+        for b in np.unique(pbv[~pd.isna(pbv)]):
+            sel = pbv == b
+            bits = bl.get(int(b))
+            if bits is None:
+                out[sel] = int(b) in dat
+                continue
+            arr = np.frombuffer(bits, dtype=np.uint8)
+            pos = _positions(h1v[sel], h2v[sel], m_bits, k)
+            out[sel] = _test_bits(arr, pos)
+        return pd.Series(out)
+
+    return _might
+
+
 def probe_hashes(
     spark: SparkSession, keys: Iterable, key_type: str = "string"
 ) -> list[tuple[int, int]]:

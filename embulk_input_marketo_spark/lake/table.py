@@ -666,32 +666,7 @@ class LakeTable:
             )
             bdata = spark.sparkContext.broadcast(buckets_with_data)
 
-            import numpy as _np
-            import pandas as _pd
-
-            @F.pandas_udf("boolean")
-            def _might(pb: _pd.Series, h1: _pd.Series, h2: _pd.Series) -> _pd.Series:
-                from embulk_input_marketo_spark.lake.bloom import (
-                    _positions, _test_bits,
-                )
-
-                out = _np.zeros(len(pb), dtype=bool)
-                bl = bblooms.value
-                dat = bdata.value
-                pbv = pb.to_numpy()
-                h1v = h1.to_numpy()
-                h2v = h2.to_numpy()
-                for b in _np.unique(pbv[~_pd.isna(pbv)]):
-                    sel = pbv == b
-                    bits = bl.get(int(b))
-                    if bits is None:
-                        # no bloom: unknown → candidate iff bucket has data
-                        out[sel] = int(b) in dat
-                        continue
-                    arr = _np.frombuffer(bits, dtype=_np.uint8)
-                    pos = _positions(h1v[sel], h2v[sel], m_bits, kk)
-                    out[sel] = _test_bits(arr, pos)
-                return _pd.Series(out)
+            _might = B.make_might_contain_udf(bblooms, bdata, m_bits, kk)
 
             pre = hashed.withColumn(
                 "_cand",

@@ -40,9 +40,12 @@ def _ts(i):
     return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=i)
 
 
-def _batch(spark, rows):
+def _batch(spark, rows, base=0):
     return spark.createDataFrame(
-        [(u, _ts(i), f"t{u}", op, i) for i, (u, op) in enumerate(rows)],
+        [
+            (u, _ts(base + i), f"t{u}", op, base + i)
+            for i, (u, op) in enumerate(rows)
+        ],
         "url string, warc_ts timestamp, text string, op string, _lsn long",
     )
 
@@ -60,7 +63,10 @@ def table(tmp_path, spark):
     )
     merge_batch(
         spark, t,
-        _batch(spark, [(f"v{i}", "I") for i in range(20)] + [("gone", "D")]),
+        _batch(
+            spark, [(f"v{i}", "I") for i in range(20)] + [("gone", "D")],
+            base=1000,  # the delete must POSTDATE the insert to win LWW
+        ),
         "b2",
     )
     return t
@@ -94,7 +100,9 @@ def test_lookup_still_finds_present_keys(spark, table):
 
 def test_merge_maintains_only_touched_buckets(spark, table):
     before = dict(table.manifest().bloom_ptrs)
-    merge_batch(spark, table, _batch(spark, [("u0", "U"), ("zz9", "I")]), "b3")
+    merge_batch(
+        spark, table, _batch(spark, [("u0", "U"), ("zz9", "I")], base=2000), "b3"
+    )
     after = dict(table.manifest().bloom_ptrs)
     changed = {b for b in after if before.get(b) != after[b]}
     # only the buckets u0/zz9 hash into were rewritten — O(touched) metadata
@@ -107,7 +115,7 @@ def test_compact_and_cow_keep_completeness(spark, table):
     for k in ["u0", "u49", "v19", "gone"]:
         assert table.might_contain(spark, k) is True, k
     merge_batch(
-        spark, table, _batch(spark, [("cowkey", "I")]), "b4", mode="cow"
+        spark, table, _batch(spark, [("cowkey", "I")], base=3000), "b4", mode="cow"
     )
     assert table.might_contain(spark, "cowkey") is True
     for k in ["u0", "gone"]:
@@ -134,7 +142,7 @@ def test_rehash_rebuilds_under_new_layout(spark, table):
 
 def test_restore_carries_blooms(spark, table):
     v = table.current_version()
-    merge_batch(spark, table, _batch(spark, [("late", "I")]), "b5")
+    merge_batch(spark, table, _batch(spark, [("late", "I")], base=4000), "b5")
     assert table.might_contain(spark, "late") is True
     table.restore(v)
     assert table.might_contain(spark, "late") is False
@@ -150,19 +158,22 @@ def test_enable_backfill_on_existing_unbloomed_table(tmp_path, spark):
     assert t.might_contain(spark, "u0") is None  # no blooms yet: unknown
     # a merge before enabling must NOT create a partial bloom for a bucket
     # that already has data
-    merge_batch(spark, t, _batch(spark, [("u1", "U")]), "b2")
+    merge_batch(spark, t, _batch(spark, [("u1", "U")], base=2000), "b2")
     assert not t.manifest().bloom_ptrs
     t.enable_key_blooms(spark, m_bits=1 << 14)
     assert t.might_contain(spark, "u29") is True
     assert t.might_contain(spark, "nope") is False
     # post-backfill merges maintain incrementally
-    merge_batch(spark, t, _batch(spark, [("fresh", "I")]), "b3")
+    merge_batch(spark, t, _batch(spark, [("fresh", "I")], base=3000), "b3")
     assert t.might_contain(spark, "fresh") is True
 
 
 def test_expiry_reclaims_dead_bloom_sides(spark, table):
     for i in range(6):
-        merge_batch(spark, table, _batch(spark, [(f"e{i}", "I")]), f"x{i}")
+        merge_batch(
+            spark, table, _batch(spark, [(f"e{i}", "I")], base=5000 + 10 * i),
+            f"x{i}",
+        )
     removed = table.expire_snapshots(keep_last=2)
     assert removed["side_files"] > 0
     live = {

@@ -163,6 +163,45 @@ def union_bloom(old: np.ndarray | None, delta: bytes) -> bytes:
     return np.bitwise_or(old, d).tobytes()
 
 
+def bloom_health(table) -> dict:
+    """Saturation report for a table's key blooms, from bloom headers alone
+    (O(buckets) side-file header reads, no data scan) — the operator signal
+    that ``m_bits`` was undersized BEFORE false-positive rates degrade the
+    absent-key fast path silently. Per bucket: key count, bits/key, and the
+    standard FPR estimate ``(1 - e^(-k·n/m))^k``. A bloom past ~2 bits/key
+    is effectively saturated (FPR > 0.5): rebuild with a bigger ``m_bits``
+    via ``enable_key_blooms`` (allowed — it REPLACES conf and every bloom
+    in one commit, so sizes never mix)."""
+    import math
+
+    m = table.manifest()
+    if not m.bloom_conf:
+        return {"enabled": False}
+    out: dict[str, dict] = {}
+    worst_fpr = 0.0
+    for b, ptr in sorted(m.bloom_ptrs.items(), key=lambda kv: int(kv[0])):
+        with open(os.path.join(table.meta_dir, ptr), "rb") as f:
+            magic, m_bits, k, n = _HDR.unpack(f.read(_HDR.size))
+        if magic != _MAGIC:
+            continue
+        fpr = (1.0 - math.exp(-k * n / m_bits)) ** k if n else 0.0
+        worst_fpr = max(worst_fpr, fpr)
+        out[b] = {
+            "keys": n,
+            "bits_per_key": round(m_bits / n, 2) if n else float("inf"),
+            "est_fpr": round(fpr, 6),
+        }
+    unbloomed = sorted(set(m.files) - set(m.bloom_ptrs), key=int)
+    return {
+        "enabled": True,
+        "m_bits": int(m.bloom_conf["m_bits"]),
+        "k": int(m.bloom_conf["k"]),
+        "buckets": out,
+        "worst_est_fpr": round(worst_fpr, 6),
+        "unbloomed_buckets": unbloomed,
+    }
+
+
 def make_might_contain_udf(bblooms, bdata, m_bits: int, k: int):
     """Arrow-batched membership prefilter for :meth:`LakeTable.exists_join`:
     (bucket, h1, h2) → "might the table contain this key?". ``bblooms`` is a

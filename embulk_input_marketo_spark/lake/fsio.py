@@ -30,6 +30,14 @@ def remove_dir(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def file_size(path: str) -> int:
+    """Size in bytes (0 when absent) — FileStatus.getLen."""
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def remove_file(path: str) -> None:
     """Single-file delete, ignore-missing — FileSystem.delete(path, false)."""
     try:

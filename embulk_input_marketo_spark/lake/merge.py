@@ -153,6 +153,98 @@ def _commit_bookkeeping(
     return live, new_ckpt
 
 
+# per-(partition-count) salt tables for _granule_exchange, computed once per
+# process from Spark's own hash (a tiny job) and reused for every batch
+_GRANULE_SALTS: dict[int, list[int]] = {}
+
+
+def _granule_salts(spark: SparkSession, g: int) -> list[int]:
+    """For each granule class c in 0..g-1, an int salt whose Spark
+    murmur3 hash lands in exchange partition c under HashPartitioning(g) —
+    found by asking SPARK for its own hash values (zero risk of a Python
+    reimplementation drifting from the JVM), cached per process."""
+    got = _GRANULE_SALTS.get(g)
+    if got is not None:
+        return got
+    salts: list[int | None] = [None] * g
+    need = g
+    lo = 0
+    while need:
+        cand = spark.range(lo, lo + max(64 * g, 1024)).select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(g)).alias("c"),
+        ).collect()
+        for r in cand:
+            c = int(r["c"])
+            if salts[c] is None:
+                salts[c] = int(r["v"])
+                need -= 1
+                if not need:
+                    break
+        lo += max(64 * g, 1024)
+    _GRANULE_SALTS[g] = salts  # type: ignore[assignment]
+    return salts  # type: ignore[return-value]
+
+
+def _granule_exchange(
+    spark: SparkSession,
+    df: DataFrame,
+    n_buckets: int,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """The merge write's layout exchange: EXACTLY ``2 × defaultParallelism``
+    partitions (whole waves at every parallelism), whole buckets assigned
+    to partitions by byte-weighted LPT.
+
+    Why not AQE coalescing (the previous design): granules must hold WHOLE
+    buckets (one bucket → one task keeps files-per-commit at one per
+    touched bucket), so AQE's byte-greedy merge over atomic bucket-sized
+    chunks lands on counts like 20-for-8-cores — 2.5 ragged waves, measured
+    write-stage packing 0.82-0.88 on the wide config vs 0.95-0.99 on the
+    narrow (the loss is pure wave quantization and charges itself to
+    "scaling").
+
+    Why not plain round-robin dealing at the exact count: buckets are NOT
+    byte-uniform under a zipf key distribution — the hottest url's bucket
+    measured ~4x the mean, and whichever granule drew it became a 1.8x
+    straggler (packing 0.77). LPT (longest-processing-time greedy) over the
+    manifest's running ``bucket_bytes`` gives the hot bucket its own
+    granule and packs the rest to ≈ max(hot bucket, total/g); the weights
+    are a PROXY (last commits' layout ≈ this batch's skew, same key
+    distribution) — a wrong weight costs balance only, never correctness.
+
+    Mechanics: ``repartition(g, col)`` places rows by
+    ``pmod(murmur3(col), g)``, so each granule id maps to a salt int whose
+    Spark hash occupies exactly that partition (salts asked from Spark's
+    own hash — :func:`_granule_salts`; never reimplemented in Python). On a
+    real cluster ``defaultParallelism`` is the executor-core total, so the
+    same two-wave rule holds."""
+    g = min(2 * max(spark.sparkContext.defaultParallelism, 1), n_buckets)
+    if g <= 1:
+        return df.repartition(1)
+    # LPT: heaviest bucket first into the lightest bin (uniform weights
+    # degrade to round-robin dealing)
+    import heapq
+
+    w = weights or {}
+    order = sorted(range(n_buckets), key=lambda b: -w.get(str(b), 1))
+    assign = [0] * n_buckets
+    heap = [(0, gi) for gi in range(g)]
+    heapq.heapify(heap)
+    for b in order:
+        load, gi = heapq.heappop(heap)
+        assign[b] = gi
+        heapq.heappush(heap, (load + w.get(str(b), 1), gi))
+    salts = _granule_salts(spark, g)
+    salt_arr = F.array(*[F.lit(salts[assign[b]]) for b in range(n_buckets)])
+    gr = F.element_at(salt_arr, F.col("_b") + F.lit(1))
+    return df.withColumn("_gr", gr).repartition(g, F.col("_gr")).drop("_gr")
+
+
+def _bytes_of(entries: list[dict]) -> int:
+    return sum(int(e.get("bytes", 0) or 0) for e in entries)
+
+
 def _bloom_ptr_updates(
     spark: SparkSession,
     table: LakeTable,
@@ -380,13 +472,19 @@ def merge_batch(
     # so tiny batches collapse to a few tasks instead of paying thousands
     # of empty-task launches. Files per commit stay one per touched
     # bucket. Conf is scoped to this write and restored.
-    init_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    try:
-        prev_init = spark.conf.get(init_key)
-    except Exception:
-        prev_init = None
-    spark.conf.set(init_key, str(8 * m.n_buckets))
-    write_df = to_write.repartition(F.col("_b"))
+    #
+    # FLOOR the coalesce at 2 tasks per core: AQE's byte-target coalesce is
+    # blind to wave quantization — profiled at 16M-row batches it merged the
+    # write stage to 9 granules, which on 8 cores is one full wave plus a
+    # one-task straggler wave (measured packing 0.61 across every write
+    # stage, ~25% of replay wall; the SAME 9 tasks pack fine on 2 cores at
+    # ~4.5 waves), so the loss lands almost entirely on the wide config and
+    # reads as "bad scaling". Two-waves-minimum keeps the quantization loss
+    # ≤ half a wave regardless of core count; a bucket still lives in
+    # exactly one granule, so files per commit are unchanged.
+    write_df = _granule_exchange(
+        spark, to_write, m.n_buckets, weights=m.bucket_bytes
+    )
     if derive:
         # computed ABOVE the exchange: the shuffle moved the placeholder,
         # the write tasks materialize the real value (plan-audited in
@@ -394,19 +492,13 @@ def merge_batch(
         # on the write side of the Exchange)
         for name, expr in derive.items():
             write_df = write_df.withColumn(name, expr)
-        write_df = write_df.select(*full_cols, "_b")
-    try:
-        (
-            write_df
-            .write.mode("overwrite")
-            .partitionBy("_b")
-            .parquet(staging)
-        )
-    finally:
-        if prev_init is None:
-            spark.conf.unset(init_key)
-        else:
-            spark.conf.set(init_key, prev_init)
+    write_df = write_df.select(*full_cols, "_b")
+    (
+        write_df
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(staging)
+    )
     try:
         got = obs.get
         rows_in = int(got["rows_in"])
@@ -442,6 +534,9 @@ def merge_batch(
     bloom_updates = _bloom_ptr_updates(
         spark, table, m, new_files, new_version, mode="union"
     )
+    bucket_bytes = dict(m.bucket_bytes)
+    for bk, entries in new_files.items():
+        bucket_bytes[bk] = bucket_bytes.get(bk, 0) + _bytes_of(entries)
 
     applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, window, channel)
     nm = Manifest(
@@ -470,6 +565,7 @@ def merge_batch(
         committed_at=time.time(),
         bloom_conf=dict(m.bloom_conf),
         bloom_ptrs={**m.bloom_ptrs, **bloom_updates},
+        bucket_bytes=bucket_bytes,
     )
     if not publish:
         # write-audit-publish: durable and auditable (table.read_staged),
@@ -556,6 +652,9 @@ def _merge_cow(
         bloom_updates = _bloom_ptr_updates(
             spark, table, m, new_files, new_version, mode="rebuild"
         )
+        bucket_bytes = dict(m.bucket_bytes)
+        for b in touched:
+            bucket_bytes[str(b)] = _bytes_of(new_files.get(str(b), []))
         applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, window, channel)
         nm = Manifest(
             version=new_version,
@@ -584,6 +683,7 @@ def _merge_cow(
             committed_at=time.time(),
             bloom_conf=dict(m.bloom_conf),
             bloom_ptrs={**m.bloom_ptrs, **bloom_updates},
+            bucket_bytes=bucket_bytes,
         )
         if publish:
             table.commit(nm, staging)
@@ -672,6 +772,9 @@ def compact_buckets(
     bloom_updates = _bloom_ptr_updates(
         spark, table, m, new_files, new_version, mode="rebuild"
     )
+    bucket_bytes = dict(m.bucket_bytes)
+    for b in buckets:
+        bucket_bytes[str(b)] = _bytes_of(new_files.get(str(b), []))
     nm = Manifest(
         version=new_version,
         parent=m.version,
@@ -688,6 +791,7 @@ def compact_buckets(
         committed_at=time.time(),
         bloom_conf=dict(m.bloom_conf),
         bloom_ptrs={**m.bloom_ptrs, **bloom_updates},
+        bucket_bytes=bucket_bytes,
     )
     table.commit(nm, staging)
     return new_version
@@ -750,6 +854,9 @@ def vacuum_tombstones(
         committed_at=time.time(),
         bloom_conf=dict(m.bloom_conf),
         bloom_ptrs=bloom_updates,
+        bucket_bytes={
+            b: _bytes_of(es) for b, es in vac_files.items()
+        },
     )
     table.commit(nm, staging)
     return new_version
@@ -831,6 +938,9 @@ def rehash_buckets(
         committed_at=time.time(),
         bloom_conf=dict(m.bloom_conf),
         bloom_ptrs=bloom_updates,
+        bucket_bytes={
+            b: _bytes_of(es) for b, es in rh_files.items()
+        },
     )
     table.commit(nm, staging)
     return new_version
@@ -965,7 +1075,10 @@ def _enumerate_bucket_files(
         if paths:
             entries = []
             for p in paths:
-                e = {"path": p, "sv": sv, "v": version, "reduced": reduced}
+                e = {
+                    "path": p, "sv": sv, "v": version, "reduced": reduced,
+                    "bytes": fsio.file_size(p),
+                }
                 if stats_col is not None:
                     stats = _file_key_stats(p, stats_col)
                     if stats is not None:

@@ -169,12 +169,19 @@ class Manifest:
     # FileSet.ptrs (bucket -> side-file name, O(touched) writes per commit)
     bloom_conf: dict[str, Any] = field(default_factory=dict)
     bloom_ptrs: dict[str, str] = field(default_factory=dict)
+    # running per-bucket data-file byte totals, maintained O(touched) per
+    # commit — the write path's LPT granule balancer reads them (zipf-hot
+    # buckets must not share a write task's worth of work with 3 more
+    # buckets), and maintenance_plan reports size skew from them
+    bucket_bytes: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = {k: v for k, v in self.__dict__.items() if k != "files"}
         if not self.bloom_conf:
             d.pop("bloom_conf", None)
             d.pop("bloom_ptrs", None)
+        if not self.bucket_bytes:
+            d.pop("bucket_bytes", None)
         if isinstance(self.files, FileSet):
             if self.files.pending:
                 raise ValueError(
@@ -520,6 +527,7 @@ class LakeTable:
                 committed_at=time.time(),
                 bloom_conf=dict(target.bloom_conf),
                 bloom_ptrs=dict(target.bloom_ptrs),
+                bucket_bytes=dict(target.bucket_bytes),
             )
             self.commit(m)
             return m
@@ -582,6 +590,7 @@ class LakeTable:
                 committed_at=time.time(),
                 bloom_conf={"m_bits": m_bits, "k": k},
                 bloom_ptrs=ptrs,
+                bucket_bytes=dict(m.bucket_bytes),
             )
             self.commit(nm)
             return nm
@@ -930,8 +939,13 @@ class LakeTable:
         driver work at 10⁵ buckets."""
         from embulk_input_marketo_spark.lake import fsio
 
+        from embulk_input_marketo_spark.lake import refs as _refs
+
         cur = self.current_version()
         cutoff = max(cur - keep_last + 1, 0)
+        # tagged snapshots (lake/refs.py) are pinned: a tag is a promise the
+        # snapshot stays readable until the tag is dropped
+        pinned = _refs.tagged_versions(self)
         retained: list[Manifest] = []
         expired_versions: list[int] = []
         for v in range(cur + 1):
@@ -939,7 +953,7 @@ class LakeTable:
                 m = self.manifest(v)
             except FileNotFoundError:
                 continue
-            if v >= cutoff:
+            if v >= cutoff or v in pinned:
                 retained.append(m)
             else:
                 expired_versions.append(v)
@@ -1519,6 +1533,7 @@ class LakeTable:
             committed_at=time.time(),
             bloom_conf=dict(m.bloom_conf),
             bloom_ptrs=dict(m.bloom_ptrs),
+            bucket_bytes=dict(m.bucket_bytes),
         )
         self._write_manifest(nm)
         return nm

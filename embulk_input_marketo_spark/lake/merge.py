@@ -192,9 +192,11 @@ def _granule_exchange(
     n_buckets: int,
     weights: dict[str, int] | None = None,
 ) -> DataFrame:
-    """The merge write's layout exchange: EXACTLY ``2 × defaultParallelism``
-    partitions (whole waves at every parallelism), whole buckets assigned
-    to partitions by byte-weighted LPT.
+    """The merge write's layout exchange: EXACTLY ``4 × defaultParallelism``
+    partitions (whole waves at every parallelism; 4 waves bound the
+    quantization + unknown-weight raggedness at ≤ a quarter wave), whole
+    buckets assigned to partitions by byte-weighted LPT, heaviest granule
+    launched first.
 
     Why not AQE coalescing (the previous design): granules must hold WHOLE
     buckets (one bucket → one task keeps files-per-commit at one per
@@ -219,7 +221,7 @@ def _granule_exchange(
     own hash — :func:`_granule_salts`; never reimplemented in Python). On a
     real cluster ``defaultParallelism`` is the executor-core total, so the
     same two-wave rule holds."""
-    g = min(2 * max(spark.sparkContext.defaultParallelism, 1), n_buckets)
+    g = min(4 * max(spark.sparkContext.defaultParallelism, 1), n_buckets)
     if g <= 1:
         return df.repartition(1)
     # LPT: heaviest bucket first into the lightest bin (uniform weights
@@ -229,14 +231,27 @@ def _granule_exchange(
     w = weights or {}
     order = sorted(range(n_buckets), key=lambda b: -w.get(str(b), 1))
     assign = [0] * n_buckets
+    loads = [0] * g
     heap = [(0, gi) for gi in range(g)]
     heapq.heapify(heap)
     for b in order:
         load, gi = heapq.heappop(heap)
         assign[b] = gi
-        heapq.heappush(heap, (load + w.get(str(b), 1), gi))
+        loads[gi] = load + w.get(str(b), 1)
+        heapq.heappush(heap, (loads[gi], gi))
+    # heaviest bin → LOWEST partition index: the scheduler launches a
+    # taskset roughly in partition order, so with >1 wave the long tasks
+    # must go in the first wave — LPT's makespan bound assumes exactly this
+    # ordering; a heavy bin that launches in the last wave adds its whole
+    # length past the ideal span (profiled: 12s hot-bucket task starting at
+    # wave 2 of 2 put write-stage packing at 0.83)
+    rank = {gi: i for i, gi in enumerate(
+        sorted(range(g), key=lambda gi: -loads[gi])
+    )}
     salts = _granule_salts(spark, g)
-    salt_arr = F.array(*[F.lit(salts[assign[b]]) for b in range(n_buckets)])
+    salt_arr = F.array(
+        *[F.lit(salts[rank[assign[b]]]) for b in range(n_buckets)]
+    )
     gr = F.element_at(salt_arr, F.col("_b") + F.lit(1))
     return df.withColumn("_gr", gr).repartition(g, F.col("_gr")).drop("_gr")
 
@@ -1058,7 +1073,22 @@ def _enumerate_bucket_files(
     skipped defensively — the commit must never crash post-write on a stray
     directory; the merge path quarantines null keys upstream, so anything
     here is foreign to the engine."""
-    out: dict[str, list[dict]] = {}
+    def entry_for(p: str) -> dict:
+        e = {
+            "path": p, "sv": sv, "v": version, "reduced": reduced,
+            "bytes": fsio.file_size(p),
+        }
+        if stats_col is not None:
+            stats = _file_key_stats(p, stats_col)
+            if stats is not None:
+                e["kmin"], e["kmax"] = stats
+        if major_col is not None:
+            tstats = _file_major_stats(p, major_col)
+            if tstats is not None:
+                e["tmin"], e["tmax"] = tstats
+        return e
+
+    per_bucket: dict[str, list[str]] = {}
     for entry in fsio.list_dir(staging):
         if not entry.startswith("_b="):
             continue
@@ -1073,20 +1103,22 @@ def _enumerate_bucket_files(
             if f.endswith(".parquet")
         ]
         if paths:
-            entries = []
-            for p in paths:
-                e = {
-                    "path": p, "sv": sv, "v": version, "reduced": reduced,
-                    "bytes": fsio.file_size(p),
-                }
-                if stats_col is not None:
-                    stats = _file_key_stats(p, stats_col)
-                    if stats is not None:
-                        e["kmin"], e["kmax"] = stats
-                if major_col is not None:
-                    tstats = _file_major_stats(p, major_col)
-                    if tstats is not None:
-                        e["tmin"], e["tmax"] = tstats
-                entries.append(e)
-            out[b] = entries
-    return out
+            per_bucket[b] = paths
+
+    # footer reads are per-file independent metadata IO; doing them serially
+    # puts O(touched buckets) blocking reads in the driver-only gap between
+    # the write job and the commit (profiled at ~8% of wall on the wide
+    # config, where the gap can't hide behind running tasks). pyarrow
+    # releases the GIL on footer reads, so a small thread pool overlaps them
+    # — the commit stays O(touched) but stops being serial-latency-bound.
+    all_paths = [p for ps in per_bucket.values() for p in ps]
+    if len(all_paths) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(all_paths))) as ex:
+            by_path = dict(zip(all_paths, ex.map(entry_for, all_paths)))
+    else:
+        by_path = {p: entry_for(p) for p in all_paths}
+    return {
+        b: [by_path[p] for p in ps] for b, ps in per_bucket.items()
+    }

@@ -1444,6 +1444,31 @@ class LakeTable:
             "stale_staged": self.list_staged(),
             "file_counts": {int(b): n for b, n in file_counts.items()},
             "generation_histogram": hist,
+            "size_skew": self._size_skew(m),
+        }
+
+    @staticmethod
+    def _size_skew(m: Manifest) -> dict[str, Any]:
+        """Bucket-size skew from the manifest's running ``bucket_bytes`` —
+        the signal that the key distribution outgrew the bucket count (a
+        hot-url bucket several× the mean is the write path's LPT straggler
+        floor and the read path's biggest task; the cure is
+        ``rehash_buckets`` to a finer bucket count, or key salting)."""
+        bb = {b: n for b, n in m.bucket_bytes.items() if n > 0}
+        if not bb:
+            return {"tracked": False}
+        vals = sorted(bb.values(), reverse=True)
+        mean = sum(vals) / len(vals)
+        top = sorted(bb.items(), key=lambda kv: -kv[1])[:5]
+        return {
+            "tracked": True,
+            "buckets": len(vals),
+            "mean_bytes": int(mean),
+            "max_bytes": vals[0],
+            "max_over_mean": round(vals[0] / mean, 2) if mean else 0.0,
+            "top_buckets": [
+                {"bucket": int(b), "bytes": n} for b, n in top
+            ],
         }
 
     # ------------------------------------------------------------ evolution

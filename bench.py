@@ -352,7 +352,11 @@ def main() -> None:
         log_path = os.path.join(work, "changelog")
         generator.changelog(
             spark, CDC_EVENTS, CDC_URLS, seed=42, partitions=cdc_cpus * 4
-        ).write.parquet(log_path)
+        ).write.option(
+            # ~32MB row groups → uniform scan tasks (splits align to row
+            # groups; the default ~220MB groups make real task sizes lumpy)
+            "parquet.block.size", str(32 * 1024 * 1024)
+        ).parquet(log_path)
         log = spark.read.parquet(log_path)
 
         from pyspark.sql import types as T

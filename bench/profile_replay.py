@@ -82,7 +82,7 @@ def main() -> None:
     changelog(
         spark, args.events, max(args.events // 20, 1000), seed=42,
         partitions=args.cores * 4,
-    ).write.parquet(log_dir)
+    ).write.option("parquet.block.size", str(32 * 1024 * 1024)).parquet(log_dir)
     log = spark.read.parquet(log_dir)
     schema = T.StructType(
         [f for f in log.schema.fields

@@ -423,7 +423,14 @@ def orchestrate() -> None:
     log_dir = os.path.join(work, "changelog")
     spark = get_spark("scale-gen", cores=N_BIG)
     spark.sparkContext.setLogLevel("ERROR")
-    changelog(spark, EVENTS, URLS, seed=SEED, partitions=N_BIG * 4).write.parquet(log_dir)
+    # ~32MB row groups: parquet scan splits align to row groups, so the
+    # default ~220MB groups make the scan stage's REAL task sizes 2:1
+    # lumpy (plus empty splits) regardless of maxPartitionBytes — a slow
+    # straggler in the last map wave stalls the barrier into the write
+    # stage. Uniform small groups give the wide config uniform scan tasks.
+    changelog(spark, EVENTS, URLS, seed=SEED, partitions=N_BIG * 4).write \
+        .option("parquet.block.size", str(32 * 1024 * 1024)) \
+        .parquet(log_dir)
     # equivalence oracle ONCE, here, unpinned: the expected-final-state hash
     # is a pure function of the changelog, identical for every worker — each
     # worker re-deriving it on its PINNED cores added ~25 untimed minutes

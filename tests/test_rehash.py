@@ -148,6 +148,12 @@ def test_maintenance_plan_reports_upkeep(spark, tmp_path):
     assert plan["stale_staged"] == []
     assert plan["generation_histogram"] == {4: 1}
     assert plan["file_counts"][0] >= 4
+    # size skew from the manifest's running bucket_bytes: one bucket holds
+    # everything, so max == mean and the top list names it
+    skew = plan["size_skew"]
+    assert skew["tracked"] and skew["buckets"] == 1
+    assert skew["max_bytes"] == skew["mean_bytes"] > 0
+    assert skew["top_buckets"][0]["bucket"] == 0
 
     from embulk_input_marketo_spark.lake.merge import compact_buckets
 

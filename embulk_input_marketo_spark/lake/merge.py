@@ -191,6 +191,7 @@ def _granule_exchange(
     df: DataFrame,
     n_buckets: int,
     weights: dict[str, int] | None = None,
+    order_col: str = "_lsn",
 ) -> DataFrame:
     """The merge write's layout exchange: EXACTLY ``4 × defaultParallelism``
     partitions (whole waves at every parallelism; 4 waves bound the
@@ -215,6 +216,18 @@ def _granule_exchange(
     are a PROXY (last commits' layout ≈ this batch's skew, same key
     distribution) — a wrong weight costs balance only, never correctness.
 
+    HEAVY buckets split across granules: a zipf-hot bucket can alone exceed
+    the ideal per-granule load (profiled at 8 cores: the hot-bucket granule
+    ran 1.85x the mean write task and set the write stage's tail, packing
+    0.87). A bucket whose weight exceeds ~1.25x the granule target is dealt
+    across ceil(weight/target) granules by hashing ``order_col`` (the
+    unique ``_lsn``), i.e. classic hot-key salting applied at the WRITE
+    layout. Correctness is untouched — the bucket's rows still all land in
+    ``_b=<b>`` dirs, there are just K part files for that bucket in this
+    commit (more MoR generations; threshold compaction folds them sooner).
+    Only heavy buckets pay the extra-file cost; uniform tables keep exactly
+    one file per touched bucket.
+
     Mechanics: ``repartition(g, col)`` places rows by
     ``pmod(murmur3(col), g)``, so each granule id maps to a salt int whose
     Spark hash occupies exactly that partition (salts asked from Spark's
@@ -224,20 +237,33 @@ def _granule_exchange(
     g = min(4 * max(spark.sparkContext.defaultParallelism, 1), n_buckets)
     if g <= 1:
         return df.repartition(1)
-    # LPT: heaviest bucket first into the lightest bin (uniform weights
-    # degrade to round-robin dealing)
+    # LPT over SUB-ITEMS: heaviest first into the lightest bin (uniform
+    # weights degrade to round-robin dealing with no splits)
     import heapq
 
     w = weights or {}
-    order = sorted(range(n_buckets), key=lambda b: -w.get(str(b), 1))
-    assign = [0] * n_buckets
-    loads = [0] * g
-    heap = [(0, gi) for gi in range(g)]
+    bw = [w.get(str(b), 1) for b in range(n_buckets)]
+    target = sum(bw) / g
+    # heavy-bucket split factor (≤8: beyond that the per-commit file cost
+    # outgrows the tail it shaves)
+    subs = [
+        max(1, min(-(-int(wb) // max(int(target), 1)), 8))
+        if wb > 1.25 * target else 1
+        for wb in bw
+    ]
+    items = [
+        (b, si, bw[b] / subs[b]) for b in range(n_buckets)
+        for si in range(subs[b])
+    ]
+    items.sort(key=lambda t: -t[2])
+    assign: dict[tuple[int, int], int] = {}
+    loads = [0.0] * g
+    heap = [(0.0, gi) for gi in range(g)]
     heapq.heapify(heap)
-    for b in order:
+    for b, si, wt in items:
         load, gi = heapq.heappop(heap)
-        assign[b] = gi
-        loads[gi] = load + w.get(str(b), 1)
+        assign[(b, si)] = gi
+        loads[gi] = load + wt
         heapq.heappush(heap, (loads[gi], gi))
     # heaviest bin → LOWEST partition index: the scheduler launches a
     # taskset roughly in partition order, so with >1 wave the long tasks
@@ -249,10 +275,17 @@ def _granule_exchange(
         sorted(range(g), key=lambda gi: -loads[gi])
     )}
     salts = _granule_salts(spark, g)
-    salt_arr = F.array(
-        *[F.lit(salts[rank[assign[b]]]) for b in range(n_buckets)]
-    )
-    gr = F.element_at(salt_arr, F.col("_b") + F.lit(1))
+    # per-bucket ARRAY of salts (one per sub-granule); a row picks its sub
+    # by hashing the unique order column — uniform within the bucket
+    salt_arr = F.array(*[
+        F.array(*[
+            F.lit(salts[rank[assign[(b, si)]]]) for si in range(subs[b])
+        ])
+        for b in range(n_buckets)
+    ])
+    inner = F.element_at(salt_arr, F.col("_b") + F.lit(1))
+    sub = F.pmod(F.xxhash64(F.col(order_col)), F.size(inner)).cast("int")
+    gr = F.element_at(inner, sub + F.lit(1))
     return df.withColumn("_gr", gr).repartition(g, F.col("_gr")).drop("_gr")
 
 

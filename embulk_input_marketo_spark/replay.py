@@ -113,7 +113,12 @@ def replay(
             # the engine's own text derivation (input_hint §2.8): Arrow
             # pandas UDF over the html payload; output must be byte-identical
             # per url to the oracle's expected text
-            from embulk_input_marketo_spark.functions.textops import extract_text
+            # arrow transport: the Arrow-native twin of the pandas UDF —
+            # same kernel, same bytes, but no per-row python objects on
+            # either side of the worker exchange (textops.extract_text_arrow)
+            from embulk_input_marketo_spark.functions.textops import (
+                extract_text_arrow as extract_text,
+            )
 
             if mode == "mor":
                 # defer to the write tasks (merge_batch derive=) so the

@@ -124,3 +124,53 @@ def test_multimodal_plumbing(spark):
            decode_and_featurize_images(df, "payload").collect()}
     assert dec[1]["n_channels"] == 3 and len(dec[1]["features"]) == 8
     assert dec[3]["width"] is None
+
+
+# --- extract_text numpy-batch backend ≡ row-regex reference -----------------
+
+_XT_EDGES = [
+    None, b"", b"<html><body><p>hello  world</p></body></html>",
+    b"no tags at all", b"unmatched < bracket", b"a\tb\nc\x0bd\x0c e",
+    b"<a href='x'>link</a> trailing   ", b"   \t lead",
+    "multiébyte <b>café</b>".encode(),
+    b"<>empty<> tag", b"< >", b"a<b", b"<a<b>", b"a>b<c>", b"<a>>",
+    "emoji \U0001F600 <i>in</i> text".encode(),
+    b"\x0b only vertical\x0btab", b"<t\nag>across lines</t\nag>",
+    b"<", b">", b"<>", b" ", b"x", None, b"", None,
+    b"end with space ", b" <a> ", b"a<", b"a<b> <c",
+    b"bad \xff utf8 <b>x</b>",  # whole batch falls back to the row loop
+]
+
+
+def test_extract_text_batch_equals_row_reference_edges():
+    import pandas as pd
+
+    s = pd.Series(_XT_EDGES, dtype=object)
+    ref = textops._extract_text_rows(s)
+    got = textops._extract_text_batch(s)
+    for i, (x, y) in enumerate(zip(ref, got)):
+        assert (x is None and y is None) or x == y, (i, _XT_EDGES[i], x, y)
+
+
+def test_extract_text_batch_fuzz_equals_row_reference():
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260819)
+    alphabet = [b"<", b">", b" ", b"\t", b"\n", b"\x0b", b"\x0c", b"\r",
+                b"a", b"bb", b"\xc3\xa9", b"\xff", b"</p>", b"<b>"]
+    for _ in range(200):
+        rows = []
+        for _ in range(rng.randrange(1, 30)):
+            if rng.random() < 0.08:
+                rows.append(None)
+                continue
+            rows.append(b"".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(0, 40))
+            ))
+        s = pd.Series(rows, dtype=object)
+        ref = textops._extract_text_rows(s)
+        got = textops._extract_text_batch(s)
+        for i, (x, y) in enumerate(zip(ref, got)):
+            assert (x is None and y is None) or x == y, (rows[i], x, y)

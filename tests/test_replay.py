@@ -98,7 +98,13 @@ def test_kill_and_resume_converges(spark, changelog, tmp_path):
     replay(spark, changelog, table, batch_span=4_000)
     _assert_state_equals_oracle(spark, table, changelog)
     ck = checkpoints_df(spark, table)
-    assert ck.count() == table.current_version()  # every commit was a merge
+    # one checkpoint row per MERGE commit (auto-compaction commits — the
+    # hot-bucket write split can trip the threshold even at this scale —
+    # carry no checkpoint)
+    merges = [
+        m for m in table.history() if m.summary.get("operation") == "merge"
+    ]
+    assert ck.count() == len(merges) == 5
     assert ck.agg(F.max("hwm_lsn")).collect()[0][0] == N_EVENTS - 1
 
 

@@ -43,6 +43,8 @@ def _timeline(events_path: str, t0_ms: float, t1_ms: float, cores: int) -> dict:
     stage_time: dict[str, float] = {}
     stage_metrics: dict[str, dict[str, float]] = {}
     stage_spans: dict[str, list[tuple[float, float]]] = {}
+    jobs: dict[int, dict] = {}
+    stage_to_job: dict[int, int] = {}
     task_total = 0.0
     with open(events_path) as f:
         for line in f:
@@ -50,7 +52,18 @@ def _timeline(events_path: str, t0_ms: float, t1_ms: float, cores: int) -> dict:
                 e = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if e.get("Event") == "SparkListenerTaskEnd":
+            ev = e.get("Event")
+            if ev == "SparkListenerJobStart":
+                jobs[e["Job ID"]] = {
+                    "submit": float(e.get("Submission Time", 0)),
+                    "first_task": None, "end": None,
+                }
+                for sid_ in e.get("Stage IDs", []):
+                    stage_to_job[int(sid_)] = e["Job ID"]
+            elif ev == "SparkListenerJobEnd":
+                if e["Job ID"] in jobs:
+                    jobs[e["Job ID"]]["end"] = float(e.get("Completion Time", 0))
+            if ev == "SparkListenerTaskEnd":
                 ti = e.get("Task Info", {})
                 a = float(ti.get("Launch Time", 0))
                 b = float(ti.get("Finish Time", 0))
@@ -64,6 +77,10 @@ def _timeline(events_path: str, t0_ms: float, t1_ms: float, cores: int) -> dict:
                 stage_time[sid] = stage_time.get(sid, 0.0) + (b - a) / 1000.0
                 spans = stage_spans.setdefault(sid, [])
                 spans.append((a, b))
+                jid = stage_to_job.get(int(e.get("Stage ID", -1)))
+                if jid is not None and jid in jobs:
+                    ft = jobs[jid]["first_task"]
+                    jobs[jid]["first_task"] = a if ft is None else min(ft, a)
                 tm = e.get("Task Metrics") or {}
                 sm = stage_metrics.setdefault(sid, {})
                 for label, val in (
@@ -81,6 +98,7 @@ def _timeline(events_path: str, t0_ms: float, t1_ms: float, cores: int) -> dict:
                     sm[label] = sm.get(label, 0.0) + float(val)
     starts.sort()
     gap = partial = full = 0.0
+    gaps: list[tuple[float, float]] = []  # (len_sec, start_rel_sec)
     running = 0
     prev = t0_ms
     for ts, d in starts:
@@ -88,12 +106,14 @@ def _timeline(events_path: str, t0_ms: float, t1_ms: float, cores: int) -> dict:
         if span > 0:
             if running == 0:
                 gap += span
+                gaps.append((round(span, 3), round((prev - t0_ms) / 1e3, 2)))
             elif running >= cores:
                 full += span
             else:
                 partial += span
         running += d
         prev = ts
+    gaps.sort(reverse=True)
     gap += max(t1_ms - prev, 0) / 1000.0
     wall = (t1_ms - t0_ms) / 1000.0
     return {
@@ -112,6 +132,26 @@ def _timeline(events_path: str, t0_ms: float, t1_ms: float, cores: int) -> dict:
                 stage_metrics.items(), key=lambda kv: -kv[1].get("run", 0)
             )[:8]
         },
+        "widest_gaps": gaps[:8],  # (seconds, at-offset-seconds) zero-task
+        # driver-side latency attribution per job: plan = submit→first task
+        # (Catalyst/AQE/committer setup), then between-jobs = this job's
+        # end → next submit (obs.get, footer reads, manifest write, next
+        # batch's python bookkeeping)
+        "job_latency": [
+            {
+                "job": j,
+                "at": round((v["submit"] - t0_ms) / 1e3, 2),
+                "plan_sec": round((v["first_task"] - v["submit"]) / 1e3, 3)
+                if v["first_task"] else None,
+                "to_next_submit_sec": round(
+                    (jobs[nj]["submit"] - v["end"]) / 1e3, 3
+                ) if v["end"] and nj in jobs else None,
+            }
+            for j, v, nj in (
+                (j, jobs[j], j + 1) for j in sorted(jobs)
+                if t0_ms <= jobs[j]["submit"] <= t1_ms
+            )
+        ],
         # packing = (sum task span / cores) / stage wall — 1.0 is a perfectly
         # filled rectangle; low values on a long stage mean straggler tail
         "stage_packing": {
@@ -139,6 +179,10 @@ def _timeline(events_path: str, t0_ms: float, t1_ms: float, cores: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--prefetch", type=int, default=0,
+                    help="1 = pipeline next-slice scan under the current "
+                    "merge (rejected at bench shape — see replay()), "
+                    "0 = sequential (replay default)")
     ap.add_argument("--slots", type=int, default=0,
                     help="task slots (local[slots]); default = cores. "
                     "Oversubscribing slots past the pinned core budget "
@@ -210,6 +254,7 @@ def main() -> None:
         spark, log, table,
         batch_span=max(args.events // args.batches, 1),
         extract_text_from_html=True,
+        prefetch=bool(args.prefetch),
     )
     sec = time.perf_counter() - t0
     t1_ms = time.time() * 1000

@@ -251,6 +251,14 @@ def _granule_exchange(
         if wb > 1.25 * target else 1
         for wb in bw
     ]
+    if not w:
+        # COLD START (first commit of a fresh table): no byte history, so a
+        # zipf-hot bucket would ride one task unsplit — profiled as a 19s
+        # straggler against an ~8s mean on the first 16M-row batch. A blanket
+        # 2-way split halves the worst case for the one commit that has no
+        # better information, at the cost of one extra file per bucket that
+        # the next threshold compaction folds anyway.
+        subs = [2 if g > 1 else 1] * n_buckets
     items = [
         (b, si, bw[b] / subs[b]) for b in range(n_buckets)
         for si in range(subs[b])
@@ -276,16 +284,23 @@ def _granule_exchange(
     )}
     salts = _granule_salts(spark, g)
     # per-bucket ARRAY of salts (one per sub-granule); a row picks its sub
-    # by hashing the unique order column — uniform within the bucket
-    salt_arr = F.array(*[
-        F.array(*[
-            F.lit(salts[rank[assign[(b, si)]]]) for si in range(subs[b])
-        ])
+    # by hashing the unique order column — uniform within the bucket. The
+    # whole lookup table ships as ONE F.expr string: building it from
+    # nested F.array(F.lit(...)) costs a py4j round trip per element
+    # (profiled at ~0.35s per commit for 64 buckets — the single largest
+    # piece of the between-jobs driver gap); the SQL parser takes the same
+    # literal tree in one call.
+    arr_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(
+            str(salts[rank[assign[(b, si)]]]) for si in range(subs[b])
+        )
         for b in range(n_buckets)
-    ])
-    inner = F.element_at(salt_arr, F.col("_b") + F.lit(1))
-    sub = F.pmod(F.xxhash64(F.col(order_col)), F.size(inner)).cast("int")
-    gr = F.element_at(inner, sub + F.lit(1))
+    )
+    gr = F.expr(
+        f"element_at(element_at({arr_sql}, _b + 1), "
+        f"cast(pmod(xxhash64({order_col}), "
+        f"size(element_at({arr_sql}, _b + 1))) as int) + 1)"
+    )
     return df.withColumn("_gr", gr).repartition(g, F.col("_gr")).drop("_gr")
 
 

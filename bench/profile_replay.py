@@ -183,6 +183,9 @@ def main() -> None:
                     help="1 = pipeline next-slice scan under the current "
                     "merge (rejected at bench shape — see replay()), "
                     "0 = sequential (replay default)")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="1 = async-commit write-ahead replay, 2 = full "
+                    "stage overlap (see replay(pipeline=))")
     ap.add_argument("--slots", type=int, default=0,
                     help="task slots (local[slots]); default = cores. "
                     "Oversubscribing slots past the pinned core budget "
@@ -255,6 +258,7 @@ def main() -> None:
         batch_span=max(args.events // args.batches, 1),
         extract_text_from_html=True,
         prefetch=bool(args.prefetch),
+        pipeline=(False, True, "full")[args.pipeline],
     )
     sec = time.perf_counter() - t0
     t1_ms = time.time() * 1000

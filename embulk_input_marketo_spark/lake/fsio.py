@@ -38,6 +38,13 @@ def file_size(path: str) -> int:
         return 0
 
 
+def rename_dir(src: str, dst: str) -> None:
+    """Directory move — FileSystem.rename. Same-filesystem metadata op on
+    the local implementation (and on HDFS); callers must treat it as
+    non-atomic-across-stores (object stores emulate rename by copy)."""
+    os.rename(src, dst)
+
+
 def remove_file(path: str) -> None:
     """Single-file delete, ignore-missing — FileSystem.delete(path, false)."""
     try:

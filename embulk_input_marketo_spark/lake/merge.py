@@ -445,6 +445,39 @@ def merge_batch(
     if _already_applied(m, batch_id, window, channel):
         return MergeResult(False, m.version, 0, 0, 0, 0)
 
+    batch_full, full_cols, derive = _prepare_batch(
+        table, m, batch, op_col, lsn_col, derive, mode
+    )
+
+    if mode == "cow":
+        return _merge_cow(
+            spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
+            checkpoint, window, channel, lineage, publish,
+        )
+
+    staged = _stage_mor(
+        spark, table, m, batch_full, full_cols, pre_reduce, salt_buckets,
+        derive, label=m.version + 1,
+    )
+    return _commit_mor(
+        spark, table, m, staged, batch_id, mode, compact_threshold,
+        checkpoint, window, channel, lineage, publish, salt_buckets,
+    )
+
+
+def _prepare_batch(
+    table: LakeTable,
+    m: Manifest,
+    batch: DataFrame,
+    op_col: str,
+    lsn_col: str,
+    derive: dict[str, Any] | None,
+    mode: str,
+) -> tuple[DataFrame, list[str], dict[str, Any] | None]:
+    """Schema-align a CDC batch against manifest ``m`` and validate the
+    ``derive`` hook: returns (batch_full, full_cols, derive) where
+    ``batch_full`` carries the table's current columns (cast), ``_lsn``,
+    ``_deleted`` and the bucket id ``_b``."""
     key = m.key_col
     cur_fields = m.current_schema().fields
     data_cols = [f.name for f in cur_fields]
@@ -491,20 +524,57 @@ def merge_batch(
                 batch_full = batch_full.withColumn(name, expr)
             derive = None
 
-    if mode == "cow":
-        return _merge_cow(
-            spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
-            checkpoint, window, channel, lineage, publish,
-        )
+    return batch_full, full_cols, derive
 
-    # ---- merge-on-read: ONE Spark job, ONE shuffle per batch --------------
-    # LSM-style ingest: the batch appends as-is (no per-batch dedup — the
-    # threshold-triggered compaction reduces generations in bulk, where the
-    # work amortizes and parallelizes). The only shuffle is the layout
-    # repartition by bucket; metrics ride on the write job via Observation —
-    # including the null-key quarantine count (observed BEFORE the filter).
+
+@dataclass
+class StagedMerge:
+    """A merge-on-read batch whose DATA is durably written but whose commit
+    has not happened yet — the handle between :func:`stage_merge` (cluster
+    work) and :func:`commit_staged_merge` (driver bookkeeping + manifest
+    CAS). ``label`` is the snapshot version the staging dir was NAMED for;
+    the commit renames the dir (and rewrites each entry's generation id) to
+    the version it actually lands at, so on-disk layout after commit is
+    byte-identical to a synchronous merge."""
+
+    staging: str
+    new_files: dict[str, list[dict]]
+    rows_in: int
+    rows_deleted: int
+    rows_null_key: int
+    pre_reduce: bool
+    schema_version: int
+    label: int
+
+
+class StaleStagedMergeError(RuntimeError):
+    """The table's schema changed between stage and commit — the staged
+    files were written under an older schema version and must be restaged."""
+
+
+def _stage_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    m: Manifest,
+    batch_full: DataFrame,
+    full_cols: list[str],
+    pre_reduce: bool,
+    salt_buckets: int | None,
+    derive: dict[str, Any] | None,
+    label: int,
+) -> StagedMerge:
+    """merge-on-read STAGE: ONE Spark job, ONE shuffle per batch.
+
+    LSM-style ingest: the batch appends as-is (no per-batch dedup — the
+    threshold-triggered compaction reduces generations in bulk, where the
+    work amortizes and parallelizes). The only shuffle is the layout
+    repartition by bucket; metrics ride on the write job via Observation —
+    including the null-key quarantine count (observed BEFORE the filter).
+    Empty/fully-quarantined batches reclaim their staging dir here and
+    return ``rows_in == 0`` (nothing for the commit phase to publish)."""
     from pyspark.sql import Observation
 
+    key = m.key_col
     key_null = F.col(key).isNull()
     obs = Observation()
     to_write = batch_full.select(*full_cols, "_b", key_null.alias("_nk")).observe(
@@ -520,31 +590,10 @@ def merge_batch(
             order_cols=[m.lww_major, "_lsn"],
             salt_buckets=salt_buckets,
         )
-    new_version = m.version + 1
-    staging = table.snapshot_staging_dir(new_version)
+    staging = table.snapshot_staging_dir(label)
     _ensure_stats_friendly_writes(spark)
-    # Overprovision the bucket exchange's INITIAL partition count and let
-    # AQE coalesce by bytes: hashing n_buckets distinct _b values into
-    # spark.sql.shuffle.partitions bins collides (64 buckets into 32
-    # partitions → some write task owns 3-4 whole buckets = 2x the mean
-    # work), and the write stage is the one carrying parquet encoding +
-    # any derive UDF — its straggler tail idles every other core. With
-    # 8x n_buckets initial partitions collisions are rare (tasks ≈ one
-    # bucket each, uniform because keys hash uniformly into buckets); AQE
-    # then merges small/empty granules toward its advisory byte target,
-    # so tiny batches collapse to a few tasks instead of paying thousands
-    # of empty-task launches. Files per commit stay one per touched
-    # bucket. Conf is scoped to this write and restored.
-    #
-    # FLOOR the coalesce at 2 tasks per core: AQE's byte-target coalesce is
-    # blind to wave quantization — profiled at 16M-row batches it merged the
-    # write stage to 9 granules, which on 8 cores is one full wave plus a
-    # one-task straggler wave (measured packing 0.61 across every write
-    # stage, ~25% of replay wall; the SAME 9 tasks pack fine on 2 cores at
-    # ~4.5 waves), so the loss lands almost entirely on the wide config and
-    # reads as "bad scaling". Two-waves-minimum keeps the quantization loss
-    # ≤ half a wave regardless of core count; a bucket still lives in
-    # exactly one granule, so files per commit are unchanged.
+    # the exchange hands each write task whole buckets, byte-weight-balanced
+    # (LPT, heavy buckets salted across granules) — see _granule_exchange
     write_df = _granule_exchange(
         spark, to_write, m.n_buckets, weights=m.bucket_bytes
     )
@@ -572,21 +621,76 @@ def merge_batch(
         # emit the observed-metrics event in this Spark build — legitimate
         # ONLY when the write produced no files; recover the quarantine
         # count with one explicit job on this rare path (never the hot path)
-        if _enumerate_bucket_files(staging, m.schema_version, new_version):
+        if _enumerate_bucket_files(staging, m.schema_version, label):
             raise
         rows_in = rows_deleted = 0
         rows_null_key = int(batch_full.where(F.col(key).isNull()).count())
     if rows_in == 0:
         # nothing to commit: reclaim the staging dir instead of orphaning it
         fsio.remove_dir(staging)
+        return StagedMerge(
+            "", {}, 0, 0, rows_null_key, pre_reduce, m.schema_version, label
+        )
+
+    new_files = _enumerate_bucket_files(
+        staging, m.schema_version, label, reduced=pre_reduce,
+        stats_col=m.key_col, major_col=m.lww_major,
+    )
+    return StagedMerge(
+        staging, new_files, rows_in, rows_deleted, rows_null_key,
+        pre_reduce, m.schema_version, label,
+    )
+
+
+def _commit_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    m: Manifest,
+    staged: StagedMerge,
+    batch_id: str,
+    mode: str,
+    compact_threshold: int,
+    checkpoint: dict[str, Any] | None,
+    window: tuple[int, int] | None,
+    channel: tuple[str, int] | None,
+    lineage: dict[str, Any] | None,
+    publish: bool,
+    salt_buckets: int | None,
+) -> MergeResult:
+    """merge-on-read COMMIT: driver bookkeeping + atomic manifest swap for a
+    :class:`StagedMerge`, against manifest ``m`` (the caller's base — the
+    synchronous path passes the same manifest it staged under; the pipelined
+    path passes a FRESH read so commits rebase onto whatever landed since
+    staging)."""
+    rows_in = staged.rows_in
+    rows_deleted = staged.rows_deleted
+    rows_null_key = staged.rows_null_key
+    if rows_in == 0:
         return MergeResult(
             False, m.version, 0, 0, 0, 0, rows_null_key=rows_null_key
         )
 
-    new_files = _enumerate_bucket_files(
-        staging, m.schema_version, new_version, reduced=pre_reduce,
-        stats_col=m.key_col, major_col=m.lww_major,
-    )
+    new_version = m.version + 1
+    staging = staged.staging
+    new_files = staged.new_files
+    if staged.label != new_version:
+        # the stage ran ahead under a guessed (future) version label:
+        # relabel the data dir and each entry's generation id to the version
+        # this commit actually lands at, so every post-commit invariant the
+        # read/expiry/WAP paths rely on (entry v == the snapshot that added
+        # it; dir name matches) holds exactly as in a synchronous merge
+        final_dir = table.snapshot_staging_dir(new_version)
+        fsio.rename_dir(staging, final_dir)
+        new_files = {
+            bk: [
+                {**e, "v": new_version,
+                 "path": final_dir + e["path"][len(staging):]}
+                for e in entries
+            ]
+            for bk, entries in new_files.items()
+        }
+        staging = final_dir
+
     touched = sorted(int(b) for b in new_files)
     # metadata delta: only the touched buckets' lists are rebuilt (loading
     # just their side files); the rest of the table inherits by pointer
@@ -653,6 +757,86 @@ def merge_batch(
         True, version, rows_in, rows_in - rows_deleted, rows_deleted,
         len(touched), compacted_buckets=len(over),
         rows_null_key=rows_null_key,
+    )
+
+
+def stage_merge(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    op_col: str = "op",
+    lsn_col: str = "_lsn",
+    pre_reduce: bool = False,
+    salt_buckets: int | None = None,
+    derive: dict[str, Any] | None = None,
+    manifest: Manifest | None = None,
+    label: int | None = None,
+) -> StagedMerge:
+    """Run a merge-on-read batch's CLUSTER work (scan → bucket exchange →
+    parquet write to a private staging dir) WITHOUT committing — the write
+    half of a write-ahead pipeline. Pair with :func:`commit_staged_merge`,
+    which publishes staged batches strictly in order.
+
+    Because the staged data never becomes visible until its commit, two
+    staged writes may run CONCURRENTLY (Spark schedules both jobs' tasks,
+    the later job filling slots the earlier one's straggler tail leaves
+    idle) — that is the point: on the replay path the next slice's write
+    overlaps the previous slice's commit bookkeeping and stage tails, which
+    are otherwise pure idle on a wide cluster (measured 10-15% of replay
+    wall at 8 cores; ``replay(pipeline=True)``).
+
+    ``label``: the version number used to NAME the staging dir. It must stay
+    ABOVE the table's committed frontier until this stage commits (expiry's
+    in-flight-writer guard never descends into dirs beyond the frontier), so
+    pipelined callers pass a guess with headroom for the commits that will
+    land in between; the commit renames to the real version. Defaults to
+    ``manifest.version + 1`` (the synchronous guess)."""
+    m = manifest or table.manifest()
+    batch_full, full_cols, derive = _prepare_batch(
+        table, m, batch, op_col, lsn_col, derive, mode="mor"
+    )
+    return _stage_mor(
+        spark, table, m, batch_full, full_cols, pre_reduce, salt_buckets,
+        derive, label=m.version + 1 if label is None else label,
+    )
+
+
+def commit_staged_merge(
+    spark: SparkSession,
+    table: LakeTable,
+    staged: StagedMerge,
+    batch_id: str,
+    mode: str = "mor",
+    compact_threshold: int = 8,
+    checkpoint: dict[str, Any] | None = None,
+    window: tuple[int, int] | None = None,
+    channel: tuple[str, int] | None = None,
+    lineage: dict[str, Any] | None = None,
+    publish: bool = True,
+    salt_buckets: int | None = None,
+) -> MergeResult:
+    """Publish a :func:`stage_merge` result against the CURRENT manifest.
+
+    Same idempotence gates as :func:`merge_batch` (re-checked here — the
+    stage may have raced an identical batch): an already-applied batch
+    reclaims its staged data and no-ops. A schema change between stage and
+    commit raises :class:`StaleStagedMergeError` (the staged files carry the
+    old schema) after reclaiming the staging dir — restage to proceed."""
+    m = table.manifest()
+    if _already_applied(m, batch_id, window, channel):
+        if staged.staging:
+            fsio.remove_dir(staged.staging)
+        return MergeResult(False, m.version, 0, 0, 0, 0)
+    if m.schema_version != staged.schema_version:
+        if staged.staging:
+            fsio.remove_dir(staged.staging)
+        raise StaleStagedMergeError(
+            f"table schema moved {staged.schema_version} -> "
+            f"{m.schema_version} between stage and commit of {batch_id}"
+        )
+    return _commit_mor(
+        spark, table, m, staged, batch_id, mode, compact_threshold,
+        checkpoint, window, channel, lineage, publish, salt_buckets,
     )
 
 

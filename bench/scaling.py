@@ -331,7 +331,7 @@ def worker(
     )
     replay(
         spark, log.where(F.col("lsn") < warm_n), warm_table,
-        batch_span=warm_n, extract_text_from_html=True,
+        batch_span=warm_n, extract_text_from_html=True, pipeline=True,
     )
     shutil.rmtree(os.path.join(work, "warm"), ignore_errors=True)
 
@@ -348,6 +348,15 @@ def worker(
         spark, log, table,
         batch_span=max(EVENTS // BATCHES, 1),
         extract_text_from_html=True,
+        # async-commit write-ahead (replay(pipeline=True)): slice k's commit
+        # bookkeeping (footer stats, manifest build, fsync) publishes on a
+        # side thread under slice k+1's write job. That driver gap is an
+        # ABSOLUTE cost — profiled at 10-15% of replay wall at 8 cores vs
+        # ~3% at 2 — so hiding it is pure wide-config gain, i.e. exactly the
+        # serial fraction the two-parallelism criterion exists to catch.
+        # Never two cluster jobs at once ("commit" depth), so no
+        # memory-bandwidth contention is added on this single box.
+        pipeline=True,
     )
     sec = time.perf_counter() - t0
     cpu = _cpu_fracs(cpu_a, _cpu_snap(pinned))

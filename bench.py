@@ -369,7 +369,11 @@ def main() -> None:
             key_col="url", lww_major="warc_ts", n_buckets=64,
         )
         t0 = time.perf_counter()
-        report = replay(spark, log, table, n_slices=3)
+        # pipeline=True is the shipped ingest configuration (write-ahead
+        # commit publish; same path bench/scaling.py times) — the commit
+        # bookkeeping gap it hides is absolute, so it matters most at the
+        # wide local[8] this section runs at
+        report = replay(spark, log, table, n_slices=3, pipeline=True)
         cdc_sec = time.perf_counter() - t0
         events = report.events_applied
         cdc = {

@@ -3092,12 +3092,94 @@ def _sql_key_exists_probe() -> str:
     """
 
 
+def q_patch_upsert_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level patch merge (partial-image CDC): a changelog whose
+    update events carry only SOME columns (null = unchanged) folds to final
+    state by per-column LWW with a delete-boundary reset — one map-side
+    combined aggregate, shuffle width bounded by the schema
+    (operators/patch.py). The patch changelog derives deterministically
+    from events: every 37th event is a delete; each payload column is
+    independently absent on its own modulus."""
+    from embulk_input_marketo_spark.operators.patch import patch_fold
+
+    ev = _t(spark, sf_dir, "events")
+    patched = ev.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 37 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    out = patch_fold(
+        patched, key_cols="user_id", order_cols=["ts", "lsn"], op_col="op"
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("lsn").alias("last_lsn"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _sql_patch_upsert_fold() -> str:
+    # Independent single-pass formulation: per-column candidate structs via
+    # NULL-skipping max(CASE...), post-delete clamp applied afterward.
+    return """
+    WITH patched AS (
+      SELECT user_id, ts, event_id AS lsn,
+             CASE WHEN event_id % 37 = 0 THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             max(CASE WHEN op = 'D' THEN {'ts': ts, 'lsn': lsn} END) AS last_del,
+             max(CASE WHEN op = 'U' THEN {'ts': ts, 'lsn': lsn} END) AS last_up,
+             max(CASE WHEN op = 'U' AND event_type IS NOT NULL
+                      THEN {'ts': ts, 'lsn': lsn, 'v': event_type} END) AS c_et,
+             max(CASE WHEN op = 'U' AND value IS NOT NULL
+                      THEN {'ts': ts, 'lsn': lsn, 'v': value} END) AS c_vl,
+             max(CASE WHEN op = 'U' AND props IS NOT NULL
+                      THEN {'ts': ts, 'lsn': lsn, 'v': props} END) AS c_pr
+      FROM patched GROUP BY user_id
+    )
+    SELECT user_id,
+           last_up.ts AS last_ts,
+           last_up.lsn AS last_lsn,
+           CASE WHEN c_et IS NOT NULL AND (last_del IS NULL OR
+                     {'ts': c_et.ts, 'lsn': c_et.lsn} > last_del)
+                THEN c_et.v END AS event_type,
+           CASE WHEN c_vl IS NOT NULL AND (last_del IS NULL OR
+                     {'ts': c_vl.ts, 'lsn': c_vl.lsn} > last_del)
+                THEN c_vl.v END AS value,
+           CASE WHEN c_pr IS NOT NULL AND (last_del IS NULL OR
+                     {'ts': c_pr.ts, 'lsn': c_pr.lsn} > last_del)
+                THEN c_pr.v END AS props
+    FROM agg
+    WHERE last_up IS NOT NULL AND (last_del IS NULL OR last_up > last_del)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_exists_probe": q_key_exists_probe,
+    "patch_upsert_fold": q_patch_upsert_fold,
     "cdc_final_state": q_cdc_final_state,
     "lww_dedup": q_lww_dedup,
     "incremental_window": q_incremental_window,
@@ -3170,6 +3252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "key_exists_probe": _sql_key_exists_probe(),
+    "patch_upsert_fold": _sql_patch_upsert_fold(),
     "cdc_final_state": _sql_cdc_final_state(),
     "lww_dedup": _sql_lww_dedup(),
     "incremental_window": _sql_incremental_window(),

@@ -1109,6 +1109,132 @@ def vacuum_tombstones(
     return new_version
 
 
+def delete_where(
+    spark: SparkSession,
+    table: LakeTable,
+    predicate: Any,
+    salt_buckets: int | None = None,
+) -> tuple[int, int]:
+    """Row-level DELETE WHERE as a copy-on-write commit (Iceberg
+    ``DeleteFromTable`` / Delta ``DELETE FROM`` — the retention/GDPR path,
+    distinct from CDC 'D' events which arrive through the log).
+
+    Matching LIVE rows become tombstones that KEEP their ``(lww_major,
+    _lsn)`` order keys — a late or duplicate delivery of an event older
+    than the deleted winner still loses the LWW fold, exactly the engine's
+    late-arrival guard — while every other payload column is scrubbed to
+    NULL (a retention delete must erase the bytes, not merely hide the
+    row; the key itself stays, as in Iceberg equality deletes, because the
+    guard needs it). A newer real event (greater order key) resurrects the
+    key as usual.
+
+    Scale shape: pass 1 finds the buckets holding matching live rows (a
+    pruned, narrow read — Catalyst pushes simple predicates to the parquet
+    scan); pass 2 folds and rewrites ONLY those buckets, exactly like
+    ``compact_buckets``; untouched buckets' pointers carry forward. Blooms
+    rebuild per touched bucket only (tombstones keep their keys, so the
+    completeness invariant holds). CDF ``changes()`` sees the rewrite as
+    ordinary data (summary operation ``delete_where``, never attributed as
+    compaction-only) and emits delete kinds for the scrubbed keys.
+
+    Returns ``(version, rows_deleted)`` — the current version with 0 when
+    nothing matched (no empty commits).
+    """
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    m = table.manifest()
+    data_cols = [f.name for f in m.current_schema().fields]
+    full_cols = data_cols + ["_lsn", "_deleted"]
+
+    # pass 1: which buckets hold matching live rows, and how many rows
+    hits = (
+        table.read(spark)
+        .where(predicate)
+        .select(bucket_expr(m.key_col, m.n_buckets).alias("_b"))
+        .groupBy("_b")
+        .count()
+        .collect()
+    )
+    if not hits:
+        return m.version, 0
+    buckets = sorted(int(r["_b"]) for r in hits)
+    n_deleted = int(sum(r["count"] for r in hits))
+
+    raw = table.read(spark, buckets=buckets, include_internal=True).withColumn(
+        "_b", bucket_expr(m.key_col, m.n_buckets)
+    )
+    reduced = lww_dedup(
+        raw.select(*full_cols, "_b"),
+        key_cols=m.key_col,
+        order_cols=[m.lww_major, "_lsn"],
+        salt_buckets=salt_buckets,
+    )
+    # three-valued logic guard: a predicate that evaluates to NULL (e.g.
+    # `lang = 'x'` on a NULL lang) must mean "not matched", never a NULL
+    # _deleted flag (which the read-side `~_deleted` filter would drop)
+    hit = F.coalesce((~F.col("_deleted")) & predicate, F.lit(False))
+    scrub = [
+        F.when(hit, F.lit(None)).otherwise(F.col(c)).alias(c)
+        if c not in (m.key_col, m.lww_major)
+        else F.col(c)
+        for c in data_cols
+    ]
+    converted = reduced.select(
+        *scrub,
+        F.col("_lsn"),
+        (F.col("_deleted") | hit).alias("_deleted"),
+        F.col("_b"),
+    )
+
+    new_version = m.version + 1
+    staging = table.snapshot_staging_dir(new_version)
+    _ensure_stats_friendly_writes(spark)
+    (
+        converted.repartition(max(len(buckets), 1), F.col("_b"))
+        .sortWithinPartitions(F.col(m.key_col))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(staging)
+    )
+    new_files = _enumerate_bucket_files(
+        staging, m.schema_version, new_version, reduced=True,
+        stats_col=m.key_col, major_col=m.lww_major,
+    )
+    files = m.files.with_updates(
+        {str(b): new_files.get(str(b), []) for b in buckets}
+    )
+    bloom_updates = _bloom_ptr_updates(
+        spark, table, m, new_files, new_version, mode="rebuild"
+    )
+    bucket_bytes = dict(m.bucket_bytes)
+    for b in buckets:
+        bucket_bytes[str(b)] = _bytes_of(new_files.get(str(b), []))
+    nm = Manifest(
+        version=new_version,
+        parent=m.version,
+        key_col=m.key_col,
+        lww_major=m.lww_major,
+        n_buckets=m.n_buckets,
+        schema_version=m.schema_version,
+        schemas=m.schemas,
+        renames=m.renames,
+        files=files,
+        applied_batches=m.applied_batches,
+        checkpoint=m.checkpoint,
+        summary={
+            "operation": "delete_where",
+            "buckets": [int(b) for b in buckets],
+            "rows_deleted": n_deleted,
+        },
+        committed_at=time.time(),
+        bloom_conf=dict(m.bloom_conf),
+        bloom_ptrs={**m.bloom_ptrs, **bloom_updates},
+        bucket_bytes=bucket_bytes,
+    )
+    table.commit(nm, staging)
+    return new_version, n_deleted
+
+
 def rehash_buckets(
     spark: SparkSession,
     table: LakeTable,

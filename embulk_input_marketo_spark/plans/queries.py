@@ -3173,6 +3173,65 @@ def _sql_patch_upsert_fold() -> str:
     """
 
 
+def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE (lake/merge.delete_where): replay the
+    changelog into a lake, then issue a retention delete of every live row
+    with value > 60.0 — matching rows become order-key-preserving tombstones
+    with scrubbed payloads, only their buckets rewrite. The read-back is
+    the final state minus the deleted rows."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.lake.merge import delete_where
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_del_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        f"{path}/web_pages", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    replay(spark, log, table, n_slices=2, salt_buckets=8)
+    delete_where(spark, table, F.col("value") > 60.0)
+    return table.read(spark).select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").alias("ts"),
+        "value",
+        "props",
+    )
+
+
+def _sql_retention_delete() -> str:
+    return """
+    WITH log AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error'  THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(user_id AS VARCHAR) AS user_id, ts, value, props
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, ts, value, props FROM latest
+    WHERE rn = 1 AND op <> 'D' AND (value IS NULL OR value <= 60.0)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3180,6 +3239,7 @@ def _sql_patch_upsert_fold() -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_exists_probe": q_key_exists_probe,
     "patch_upsert_fold": q_patch_upsert_fold,
+    "retention_delete": q_retention_delete,
     "cdc_final_state": q_cdc_final_state,
     "lww_dedup": q_lww_dedup,
     "incremental_window": q_incremental_window,
@@ -3253,6 +3313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "key_exists_probe": _sql_key_exists_probe(),
     "patch_upsert_fold": _sql_patch_upsert_fold(),
+    "retention_delete": _sql_retention_delete(),
     "cdc_final_state": _sql_cdc_final_state(),
     "lww_dedup": _sql_lww_dedup(),
     "incremental_window": _sql_incremental_window(),

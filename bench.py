@@ -35,6 +35,8 @@ HEADLINE = [
     "cdc_final_state",
     "key_exists_probe",
     "cdc_changes_feed",
+    "patch_upsert_fold",
+    "retention_delete",
     "lww_dedup",
     "incremental_window",
     "coerce_props",

@@ -3173,6 +3173,58 @@ def _sql_patch_upsert_fold() -> str:
     """
 
 
+def q_cdc_mirror_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven replication (lake/mirror.py): replay the changelog into a
+    source lake with the mirror syncing AFTER EVERY commit (bootstrap on
+    the first, incremental CDF slices after), then read the REPLICA. The
+    replica is maintained change-proportionally — exactly-once via its
+    channel watermark — and must equal the source's LWW final state."""
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.lake.mirror import create_mirror, sync_mirror
+    from embulk_input_marketo_spark.replay import replay
+
+    log = _events_as_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(
+        prefix="lake_mirror_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    src = LakeTable.create(
+        f"{path}/src", schema, key_col="url", lww_major="warc_ts",
+        n_buckets=8,
+    )
+    holder: dict = {}
+
+    def on_batch(_result) -> None:
+        if "dst" not in holder:
+            holder["dst"] = create_mirror(src, f"{path}/dst", n_buckets=4)
+        sync_mirror(spark, src, holder["dst"])
+
+    replay(spark, log, src, n_slices=2, salt_buckets=8, on_batch=on_batch)
+    sync_mirror(spark, src, holder["dst"])  # idempotent catch-up no-op
+    return holder["dst"].read(spark).select(
+        F.col("url").alias("user_id"),
+        F.col("warc_ts").alias("ts"),
+        "value",
+        "props",
+    )
+
+
+def _sql_cdc_mirror_replica() -> str:
+    # the replica must equal the source's LWW final state
+    return _sql_cdc_final_state()
+
+
 def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE WHERE (lake/merge.delete_where): replay the
     changelog into a lake, then issue a retention delete of every live row
@@ -3240,6 +3292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_exists_probe": q_key_exists_probe,
     "patch_upsert_fold": q_patch_upsert_fold,
     "retention_delete": q_retention_delete,
+    "cdc_mirror_replica": q_cdc_mirror_replica,
     "cdc_final_state": q_cdc_final_state,
     "lww_dedup": q_lww_dedup,
     "incremental_window": q_incremental_window,
@@ -3314,6 +3367,7 @@ ORACLES: dict[str, str] = {
     "key_exists_probe": _sql_key_exists_probe(),
     "patch_upsert_fold": _sql_patch_upsert_fold(),
     "retention_delete": _sql_retention_delete(),
+    "cdc_mirror_replica": _sql_cdc_mirror_replica(),
     "cdc_final_state": _sql_cdc_final_state(),
     "lww_dedup": _sql_lww_dedup(),
     "incremental_window": _sql_incremental_window(),

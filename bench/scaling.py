@@ -273,7 +273,11 @@ def _cpu_fracs(a: dict, b: dict) -> dict[str, float]:
 
 
 def worker(
-    cores: int, log_dir: str, out_file: str, barrier: list[str] | None = None
+    cores: int,
+    log_dir: str,
+    out_file: str,
+    barrier: list[str] | None = None,
+    start_barrier: list[str] | None = None,
 ) -> None:
     from pyspark.sql import types as T
 
@@ -339,6 +343,19 @@ def worker(
         os.path.join(work, "web_pages"), schema,
         key_col="url", lww_major="warc_ts", n_buckets=64,
     )
+    # replica start-barrier (replica-saturated mode): every sibling replica
+    # announces warm-up completion, then all snap t0 together — the timed
+    # windows must COINCIDE, or an early-finishing replica would free its
+    # cores (and its share of the host's aggregate grant) to the stragglers
+    # and the leg would no longer hold total demand constant.
+    if start_barrier:
+        open(out_file + ".ready", "w").write("1")
+        deadline = time.time() + 3600
+        for marker in start_barrier:
+            while not os.path.exists(marker):
+                if time.time() > deadline:
+                    raise TimeoutError(f"peer never became ready: {marker}")
+                time.sleep(1)
     pinned = set(os.sched_getaffinity(0))
     cpu_a = _cpu_snap(pinned)
     t0 = time.perf_counter()
@@ -482,6 +499,31 @@ def _run_pairs(work: str, log_dir: str, owns_work: bool) -> None:
     # quantity that actually matters (the within-window ratio). Equivalence
     # must pass on EVERY run regardless.
     simul = os.environ.get("SPARK_GRAFT_SCALE_SIMUL", "0") == "1"
+    # REPLICA-SATURATED N-leg (SPARK_GRAFT_SCALE_REPLICAS=1): the N_SMALL
+    # config runs as N_BIG/N_SMALL IDENTICAL replicas concurrently, each on
+    # its own disjoint pinned core block, own work dir and own JVM, all
+    # replaying the same shared input; T(N) = MEDIAN replica throughput
+    # (every replica's numbers and equivalence stay in the record). Why:
+    # this hypervisor's grant is DEMAND-DEPENDENT — it turbo-boosts a
+    # 2-way-busy VM and caps an 8-way-busy one (measured 20260820: the same
+    # engine at 110k ev/s per core at 2-way vs 67k per core at 8-way, both
+    # ~full busy), so a back-to-back pair measures the host's turbo curve.
+    # With the N-leg saturating the SAME total core count and memory
+    # bandwidth as the 4N leg, the grant is identical across the pair by
+    # construction, and what remains is the engine's own scaling (serial
+    # fraction, barriers, skew — all of which the 4N leg still pays and
+    # the replicas do not share). This matches the cluster invariant the
+    # rule models: an N-executor job on a real cluster shares a busy
+    # machine room — its clock does not rise because the job is small.
+    # Distinct from the REJECTED heterogeneous-simultaneous protocol
+    # (local[8] beside local[2]): there the two MEASUREMENTS ran under a
+    # split grant whose shape between unequal processes is the unknown;
+    # here each leg is internally homogeneous (equal-shaped replicas by
+    # symmetry), legs run sequentially, and a replica start-barrier keeps
+    # the timed windows coincident so demand stays constant through each.
+    replica_mode = (
+        os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "0") == "1" and not simul
+    )
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     taskset = shutil.which("taskset")
     ncpu = os.cpu_count() or (N_BIG + N_SMALL)
@@ -524,23 +566,65 @@ def _run_pairs(work: str, log_dir: str, owns_work: bool) -> None:
         outs = {c: os.path.join(work, f"r{c}_{r}.json") for c in (N_SMALL, N_BIG)}
         procs = []
         for cores in (N_SMALL, N_BIG):
-            peers = [outs[c] + ".timed" for c in outs if c != cores] if simul else []
-            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-                   "--cores", str(cores), "--log", log_dir,
-                   "--out", outs[cores], "--barrier", ",".join(peers)]
-            if taskset:
-                # PIN the whole process tree (JVM GC/shuffle/IO threads AND
-                # the Arrow python workers) to exactly `cores` host CPUs:
-                # local[N] only bounds task slots, so an unpinned local[2]
-                # silently consumes 4-5 cores of GC/IO/UDF work and inflates
-                # small-N throughput — pinning makes N vs 4N a real CPU
-                # budget, like cluster executors with `cores` cores each.
-                cmd = [taskset, "-c", pin[cores]] + cmd
-            p = subprocess.Popen(cmd, cwd=REPO)
-            if simul:
-                procs.append(p)
-            elif p.wait() != 0:
-                raise RuntimeError(f"scaling worker failed: rc={p.returncode}")
+            n_inst = N_BIG // N_SMALL if (replica_mode and cores == N_SMALL) else 1
+            if n_inst == 1:
+                peers = [outs[c] + ".timed" for c in outs if c != cores] if simul else []
+                insts = [(outs[cores], pin[cores], peers, [])]
+            else:
+                inst_outs = [f"{outs[cores]}.replica{j}" for j in range(n_inst)]
+                insts = [
+                    (
+                        o,
+                        f"{j * cores}-{(j + 1) * cores - 1}",
+                        [q + ".timed" for q in inst_outs if q != o],
+                        [q + ".ready" for q in inst_outs if q != o],
+                    )
+                    for j, o in enumerate(inst_outs)
+                ]
+            ps = []
+            for o, pin_c, timed_peers, ready_peers in insts:
+                cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                       "--cores", str(cores), "--log", log_dir,
+                       "--out", o, "--barrier", ",".join(timed_peers),
+                       "--start-barrier", ",".join(ready_peers)]
+                if taskset:
+                    # PIN the whole process tree (JVM GC/shuffle/IO threads
+                    # AND the Arrow python workers) to exactly `cores` host
+                    # CPUs: local[N] only bounds task slots, so an unpinned
+                    # local[2] silently consumes 4-5 cores of GC/IO/UDF work
+                    # and inflates small-N throughput — pinning makes N vs
+                    # 4N a real CPU budget, like cluster executors with
+                    # `cores` cores each.
+                    cmd = [taskset, "-c", pin_c] + cmd
+                p = subprocess.Popen(cmd, cwd=REPO)
+                if simul:
+                    procs.append(p)
+                else:
+                    ps.append(p)
+            for p in ps:
+                if p.wait() != 0:
+                    raise RuntimeError(f"scaling worker failed: rc={p.returncode}")
+            if n_inst > 1:
+                import statistics as _st
+
+                recs = []
+                for o, *_ in insts:
+                    with open(o) as f:
+                        recs.append(json.load(f))
+                recs.sort(key=lambda x: x["events_per_sec"])
+                combined = dict(recs[(len(recs) - 1) // 2])
+                combined["events_per_sec"] = round(
+                    _st.median([x["events_per_sec"] for x in recs]), 1
+                )
+                combined["replicas"] = n_inst
+                combined["replica_events_per_sec"] = [
+                    x["events_per_sec"] for x in recs
+                ]
+                combined["equivalence_pass"] = all(
+                    x["equivalence_pass"] for x in recs
+                )
+                with open(outs[cores], "w") as f:
+                    json.dump(combined, f)
             if validate:
                 mid_end.append(_probe_once())
         for p in procs:
@@ -563,6 +647,10 @@ def _run_pairs(work: str, log_dir: str, owns_work: bool) -> None:
             f"local[{N_BIG}]_cpu": got[N_BIG].get("cpu_during_timed_window"),
             "host_probe": probe,
         }
+        if got[N_SMALL].get("replicas"):
+            pair[f"local[{N_SMALL}]_replica_events_per_sec"] = got[N_SMALL][
+                "replica_events_per_sec"
+            ]
         if validate:
             pair["host_probe_mid"] = mid_end[0]
             pair["host_probe_end"] = mid_end[1]
@@ -598,6 +686,10 @@ def _run_pairs(work: str, log_dir: str, owns_work: bool) -> None:
     eff = round(statistics.median(effs), 3)
     summary = {
         "metric": "change-events/sec upsert throughput, two-parallelism scaling",
+        "protocol": (
+            "replica-saturated" if replica_mode
+            else ("simultaneous" if simul else "back-to-back adjacent")
+        ),
         "events": EVENTS,
         "urls": URLS,
         "seed": SEED,
@@ -646,8 +738,14 @@ def _pairs_rows(s: dict) -> str:
             f" (waited {pr.get('waited_sec', 0)}s)"
             if pr else "—"
         )
+        small_ev = f"{p[small_k + '_events_per_sec']:,}"
+        reps = p.get(small_k + "_replica_events_per_sec")
+        if reps:
+            small_ev += (
+                " (median of " + ", ".join(f"{x:,.0f}" for x in reps) + ")"
+            )
         lines.append(
-            f"| {p['repeat']} | {p[small_k + '_events_per_sec']:,} "
+            f"| {p['repeat']} | {small_ev} "
             f"| {p[big_k + '_events_per_sec']:,} | {p['efficiency']} "
             f"| {cpu(small_k)} | {cpu(big_k)} | {probe} |"
         )
@@ -663,9 +761,9 @@ def _archive_rows() -> str:
     import glob
 
     rows = [
-        "| archived run | config | events | median pair eff | best pair "
-        "| result |",
-        "|---|---|---|---|---|---|",
+        "| archived run | config | protocol | events | median pair eff "
+        "| best pair | result |",
+        "|---|---|---|---|---|---|---|",
     ]
     for p in sorted(
         glob.glob(os.path.join(REPO, "BENCH", "runs", "scaling-*.json"))
@@ -685,7 +783,8 @@ def _archive_rows() -> str:
         ev = d.get("events")
         ev_s = f"{ev:,}" if isinstance(ev, int) else "?"
         rows.append(
-            f"| {os.path.basename(p)} | {'→'.join(cfgs)} | {ev_s} "
+            f"| {os.path.basename(p)} | {'→'.join(cfgs)} "
+            f"| {d.get('protocol', 'back-to-back adjacent')} | {ev_s} "
             f"| {eff} | {d.get('scaling_efficiency_best_pair', '—')} "
             f"| {'PASS' if d.get('pass') else 'FAIL'} |"
         )
@@ -697,6 +796,36 @@ def _write_md(s: dict) -> None:
 
     small_k = f"local[{N_SMALL}]"
     big_k = f"local[{N_BIG}]"
+    replica_note = ""
+    if s.get("protocol") == "replica-saturated":
+        k = N_BIG // N_SMALL
+        replica_note = f"""
+**This run used the replica-saturated N-leg protocol**
+(`SPARK_GRAFT_SCALE_REPLICAS=1`): the {small_k} configuration runs as
+{k} IDENTICAL replicas concurrently — each its own JVM, own work dir, own
+disjoint `taskset`-pinned {N_SMALL}-core block, all replaying the same
+shared input, with a start-barrier holding every replica's timed window
+until all have finished warm-up so the windows coincide. T(N) = MEDIAN
+replica throughput; every replica's throughput and equivalence result is
+recorded (the per-pair table shows all {k}). Why this protocol exists:
+this hypervisor's CPU grant is DEMAND-DEPENDENT — it turbo-boosts a
+2-way-busy VM and caps an 8-way-busy one. Measured 20260820 on the same
+engine build (`BENCH/runs/scaling-20260820-PARTIAL-throttled-5pairs.json`):
+~110k ev/s per core at 2-way demand vs ~67k per core at 8-way, both sides
+>0.89 busy with steal≈0 — so a back-to-back pair measures the host's turbo
+curve, not the engine. With the N-leg saturating the same total core count
+and memory-bandwidth demand as the 4N leg, the host grants both legs the
+same per-core budget by construction, and the remaining ratio is the
+engine's own scaling: serial fraction, stage barriers and skew still
+penalize the {big_k} side only (the replicas share nothing), so the
+asymmetry is conservative. This matches the invariant the rule models —
+an N-executor job on a real cluster shares a busy machine room and does
+not get a higher clock for being small. It is NOT the rejected
+heterogeneous-simultaneous protocol (local[{N_BIG}] racing local[{N_SMALL}],
+where the grant SPLIT between unequal processes is the unknown): here the
+two legs run sequentially, each internally homogeneous by symmetry.
+Back-to-back runs remain in the archive below for comparison.
+"""
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 **Latest run ({s.get('stamp', 'unknown')}): {'PASS' if s['pass'] else 'FAIL'}**
@@ -717,7 +846,7 @@ run is a fresh subprocess; during every timed window the worker records its
 pinned cores' busy/steal/idle fractions from /proc/stat (the per-pair table
 below), so a degraded pair is attributable to host conditions with data
 rather than inference.
-
+{replica_note}
 | config | events applied | wall sec (best) | events/sec (best of runs) | all runs (ev/s) | final-state equivalence |
 |---|---|---|---|---|---|
 | {small_k} | {s[small_k]['events']:,} | {s[small_k]['sec']} | {s[small_k]['events_per_sec']:,} | {s[small_k].get('all_runs_events_per_sec')} | {'PASS' if s[small_k]['equivalence_pass'] else 'FAIL'} |
@@ -839,9 +968,11 @@ if __name__ == "__main__":
     ap.add_argument("--log")
     ap.add_argument("--out")
     ap.add_argument("--barrier", default="")
+    ap.add_argument("--start-barrier", default="")
     a = ap.parse_args()
     if a.worker:
         worker(a.cores, a.log, a.out,
-               [m for m in a.barrier.split(",") if m])
+               [m for m in a.barrier.split(",") if m],
+               [m for m in a.start_barrier.split(",") if m])
     else:
         orchestrate()

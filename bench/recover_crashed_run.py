@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""One-shot recovery of a crashed scaling-marathon's COMPLETED repeats.
+
+The 20260820 replica-saturated marathon (SPARK_GRAFT_SCALE_EVENTS=48000000,
+SPARK_GRAFT_SCALE_REPEATS=5, SPARK_GRAFT_SCALE_REPLICAS=1) lost its
+orchestrator after repeat 2: repeats 0-2 finished BOTH legs and wrote their
+worker result files into the shared input dir; repeat 3 died at the replica
+start-barrier. This script assembles those worker-written files — verbatim,
+no re-derivation — into the same summary schema `bench/scaling.py` emits,
+archives it under BENCH/runs with a RECOVERED stamp, and rewrites
+BENCH/BASELINE.md via the harness's own _write_md. Per-repeat host-probe
+records for this run were appended live to BENCH/probe_calibration.json
+(ts 20260820-032319 .. 20260820-045339) but the probe→repeat mapping died
+with the orchestrator, so pairs carry host_probe=None plus a pointer.
+"""
+import glob
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_SCALE_EVENTS", "48000000")
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    "scaling", os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling.py")
+)
+scaling = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(scaling)
+
+WORK = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/scale_input_7r83log7"
+N_SMALL, N_BIG = 2, 8
+
+runs = {N_SMALL: [], N_BIG: []}
+pairs = []
+for r in range(10):
+    small_f = os.path.join(WORK, f"r{N_SMALL}_{r}.json")
+    big_f = os.path.join(WORK, f"r{N_BIG}_{r}.json")
+    if not (os.path.exists(small_f) and os.path.exists(big_f)):
+        break
+    small = json.load(open(small_f))
+    big = json.load(open(big_f))
+    runs[N_SMALL].append(small)
+    runs[N_BIG].append(big)
+    pair = {
+        "repeat": r,
+        f"local[{N_SMALL}]_events_per_sec": small["events_per_sec"],
+        f"local[{N_BIG}]_events_per_sec": big["events_per_sec"],
+        "efficiency": round(
+            (big["events_per_sec"] / small["events_per_sec"]) / (N_BIG / N_SMALL), 3
+        ),
+        f"local[{N_SMALL}]_cpu": small.get("cpu_during_timed_window"),
+        f"local[{N_BIG}]_cpu": big.get("cpu_during_timed_window"),
+        # orchestrator (and its probe→repeat bookkeeping) crashed; the raw
+        # probe samples live in BENCH/probe_calibration.json 0323xx-0453xx
+        "host_probe": None,
+    }
+    if small.get("replicas"):
+        pair[f"local[{N_SMALL}]_replica_events_per_sec"] = small[
+            "replica_events_per_sec"
+        ]
+    pairs.append(pair)
+
+assert pairs, f"no completed repeats found in {WORK}"
+
+
+def best(rs):
+    b = dict(max(rs, key=lambda x: x["events_per_sec"]))
+    b["all_runs_events_per_sec"] = [x["events_per_sec"] for x in rs]
+    b["equivalence_pass"] = all(x["equivalence_pass"] for x in rs)
+    return b
+
+
+effs = [p["efficiency"] for p in pairs]
+eff = round(statistics.median(effs), 3)
+small, big = best(runs[N_SMALL]), best(runs[N_BIG])
+summary = {
+    "metric": "change-events/sec upsert throughput, two-parallelism scaling",
+    "protocol": "replica-saturated",
+    "events": 48_000_000,
+    "urls": 2_400_000,
+    "seed": 42,
+    f"local[{N_SMALL}]": small,
+    f"local[{N_BIG}]": big,
+    "pairs": pairs,
+    "discarded_pairs": [],
+    "scaling_efficiency": eff,
+    "scaling_efficiency_best_pair": max(effs),
+    "pass_bar": 0.8,
+    "pass": eff >= 0.8,
+    "equivalence_pass": small["equivalence_pass"] and big["equivalence_pass"],
+    "stamp": "20260820-045400-RECOVERED",
+    "note": (
+        "Assembled post-hoc from the worker-written per-repeat result files "
+        "of the 20260820 03:23-04:54 replica-saturated marathon (5 repeats "
+        "planned; orchestrator process died at repeat 3's start-barrier). "
+        "Repeats 0-2 completed both legs with equivalence PASS on every "
+        "worker including all 4 replicas per N-leg; their numbers are copied "
+        "verbatim from the files the pinned workers wrote. Host-probe "
+        "samples for the window are in BENCH/probe_calibration.json "
+        "(ts 20260820-032319..045339)."
+    ),
+}
+out = os.path.join(
+    scaling.REPO, "BENCH", "runs", f"scaling-{summary['stamp']}.json"
+)
+with open(out, "w") as f:
+    json.dump(summary, f, indent=1)
+scaling._write_md(summary)
+print(json.dumps({k: summary[k] for k in (
+    "scaling_efficiency", "scaling_efficiency_best_pair", "pass",
+    "equivalence_pass", "stamp")}))
+print("archived:", out)

@@ -825,6 +825,18 @@ heterogeneous-simultaneous protocol (local[{N_BIG}] racing local[{N_SMALL}],
 where the grant SPLIT between unequal processes is the unknown): here the
 two legs run sequentially, each internally homogeneous by symmetry.
 Back-to-back runs remain in the archive below for comparison.
+
+Pair efficiencies can exceed 1.0 under this protocol, and that is a
+measured property of the N-leg's isolation, not a scaling claim beyond
+linear: each of the {k} replica JVMs pays the FULL per-slice serial cost
+(driver scheduling, commit bookkeeping, JIT'd-code and metadata caches,
+GC of its own heap) that the single {big_k} JVM pays once, and {k}
+separate processes contend harder for the shared memory-bandwidth grant
+than one process with the same core count. Both biases DEPRESS T(N), so
+the ratio reads high — the back-to-back archive (quiet-window pairs
+0.79-0.96) brackets the same engine from the other side, where the
+turbo-clock bias depresses the ratio instead. The engine's true 2→8-core
+scaling lies between the two protocols' numbers, and both are archived.
 """
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 

@@ -65,6 +65,7 @@ HEADLINE = [
     "token_frequency_stats",
     "pii_redact",
     "bpe_token_count",
+    "chunk_documents",
     "gopher_quality",
     "quality_classifier",
     "corpus_mix",

@@ -625,3 +625,68 @@ def hashed_classifier_score(
         "clf_score": F.round(score, 6),
         "clf_label": score > 0,
     }
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    size: int = 128,
+    overlap: int = 32,
+):
+    """Overlapping fixed-window document chunking — the context-window prep
+    stage of a training/RAG corpus pipeline (pack_documents' upstream twin:
+    packing bins whole docs into budgets; chunking splits docs that exceed
+    one).
+
+    Whitespace tokens (the ``token_count`` tokenizer); chunk ``k`` covers
+    tokens ``[k*stride, k*stride + size)`` with ``stride = size - overlap``,
+    so consecutive chunks share ``overlap`` tokens and the last chunk is the
+    only one that may run short (it is never empty: its start is < the token
+    count by construction). Documents with NULL/blank text yield no chunks.
+    Emits ``(*id_cols, chunk_idx, chunk_text, n_tokens)``.
+
+    Scale shape: pure JVM expressions — one ``split`` per doc, a
+    ``sequence``/``explode`` Generate (streamed, never a materialized
+    per-doc array of chunks), ``slice``/``array_join`` per chunk. No
+    shuffle, no UDF; output rows ∝ input tokens / stride, produced
+    pipeline-parallel within each scan partition — the plan is identical at
+    100 TB. Chunk identity is (id, chunk_idx): deterministic, so downstream
+    dedup/packing can key on it.
+
+    Reference seam: the reference slices an export by TIME window into
+    fixed ranges (``MarketoBaseBulkExtractInputPlugin.java`` window loops);
+    this is the same fixed-window-with-boundary-rule discipline applied to
+    token position instead of timestamp.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    ids = id_cols or ["doc_id"]
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n = F.size(words)
+    extra = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))), F.lit(0).cast("long")
+    )
+    kept = df.where(F.col(text_col).isNotNull() & (t != "")).select(
+        *ids, words.alias("_w"), n.alias("_n"), extra.alias("_extra")
+    )
+    k = F.col("chunk_idx")
+    return (
+        kept.select(
+            *ids, "_w", "_n",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_extra")))
+            .alias("chunk_idx"),
+        )
+        .select(
+            *ids,
+            k,
+            F.array_join(
+                F.slice("_w", (k * stride + 1).cast("int"), size), " "
+            ).alias("chunk_text"),
+            F.least(F.col("_n") - k * stride, F.lit(size))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

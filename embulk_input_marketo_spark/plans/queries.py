@@ -806,6 +806,45 @@ def _sql_bpe_token_count() -> str:
     """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (size=32, overlap=8 whitespace
+    tokens — small enough that sf0.01 docs produce multi-chunk output).
+    Plan: split → sequence → one Generate, no shuffle, no UDF; the oracle
+    replays the identical start/coverage rule with generate_series."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.chunk_documents(
+        docs, "text", id_cols=["doc_id"], size=32, overlap=8
+    )
+
+
+def _sql_chunk_documents() -> str:
+    # stride = size - overlap = 24; chunk k covers tokens [k*24, k*24+32);
+    # extra = max(ceil((n - 32)/24), 0) trailing chunks beyond the first
+    return r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS words
+      FROM documents
+      WHERE text IS NOT NULL AND TRIM(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id, words, len(words) AS n,
+             GREATEST(CAST(ceil((len(words) - 32) / 24.0) AS BIGINT), 0)
+               AS extra
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, words, n,
+             UNNEST(generate_series(0, extra)) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(words[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+             AS chunk_text,
+           LEAST(n - chunk_idx*24, 32) AS n_tokens
+    FROM e
+    """
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII screening over web text: deterministic emails/IPs/phones are
     planted from doc_id (every doc an email, every 2nd an IPv4, every 3rd a
@@ -3306,6 +3345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window": q_tumbling_window,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
+    "chunk_documents": q_chunk_documents,
     "pii_redact": q_pii_redact,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -3381,6 +3421,7 @@ ORACLES: dict[str, str] = {
     "tumbling_window": _sql_tumbling_window(),
     "token_count": _sql_token_count(),
     "bpe_token_count": _sql_bpe_token_count(),
+    "chunk_documents": _sql_chunk_documents(),
     "pii_redact": _sql_pii_redact(),
     "quality_score": _sql_quality_score(),
     "lang_id": _sql_lang_id(),

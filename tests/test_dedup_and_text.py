@@ -174,3 +174,39 @@ def test_extract_text_batch_fuzz_equals_row_reference():
         got = textops._extract_text_batch(s)
         for i, (x, y) in enumerate(zip(ref, got)):
             assert (x is None and y is None) or x == y, (rows[i], x, y)
+
+
+def test_chunk_documents_exact_windows(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)),      # 10 tokens → starts 0,2,4,6 at size=4/overlap=2
+         (2, "a b c d"),            # exactly size → one chunk
+         (3, "solo"),               # shorter than size → one short chunk
+         (4, "   "),                # blank → no chunks
+         (5, None)],                # null → no chunks
+        ["doc_id", "text"],
+    )
+    out = textops.chunk_documents(df, "text", size=4, overlap=2)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in out.collect()}
+    assert got == {
+        (1, 0): ("w0 w1 w2 w3", 4),
+        (1, 1): ("w2 w3 w4 w5", 4),
+        (1, 2): ("w4 w5 w6 w7", 4),
+        (1, 3): ("w6 w7 w8 w9", 4),
+        (2, 0): ("a b c d", 4),
+        (3, 0): ("solo", 1),
+    }
+    # coverage + overlap invariants on a non-multiple length
+    df2 = spark.createDataFrame([(9, " ".join(words[:9]))], ["doc_id", "text"])
+    rows = sorted(
+        textops.chunk_documents(df2, "text", size=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_text"] for r in rows] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8"
+    ]
+    assert rows[-1]["n_tokens"] == 3  # last chunk short, never empty
+    import pytest
+    with pytest.raises(ValueError):
+        textops.chunk_documents(df, "text", size=4, overlap=4)

@@ -60,6 +60,7 @@ HEADLINE = [
     "remove_repeated_lines",
     "doc_repetition",
     "stratified_sample",
+    "sample_k_per_stratum",
     "contamination_check",
     "near_dup_survivors",
     "token_frequency_stats",

@@ -180,6 +180,72 @@ def stratified_sample(
     return df.where(sample_draw(key_col, seed) < rate)
 
 
+def sample_draw_long(key_col: str, seed: int = 42) -> F.Column:
+    """The draw as its raw 32-bit integer (the numerator of
+    :func:`sample_draw`) — rank comparisons use this, not the divided
+    double, so Spark and the SQL oracle order by the IDENTICAL integer."""
+    h = F.md5(
+        F.concat_ws("|", F.col(key_col).cast("string"), F.lit(str(seed)))
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def sample_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically —
+    the fixed-COUNT face of corpus mixing (:func:`stratified_sample` is the
+    fixed-RATE face): "exactly 10k eval docs per language", reproducible
+    across runs, engines and repartitioning.
+
+    Selection = the ``k`` smallest (md5 draw, key) pairs per stratum, the
+    same pure (key, seed) draw as every sampler here, compared as the raw
+    32-bit integer (``sample_draw_long``) so the SQL oracle orders by the
+    identical value; ``key_col`` breaks the (astronomically rare) equal-draw
+    tie. Monotone in ``k``: raising it only ADDS rows.
+
+    Scale shape — bounded top-k, never a whole-stratum sort: a plain
+    ``row_number`` over ``partitionBy(stratum)`` drags a 10^9-row stratum
+    through ONE task (the pack_documents failure mode). Instead the
+    hot-key-safe two-stage split (the sessionize_split discipline applied
+    to top-k):
+
+    1. salt into ``n_buckets`` by ``xxhash64(key)``; rank per
+       (stratum, bucket) and keep rank ≤ k — exact, because any row in a
+       stratum's global top-k is in its own bucket's top-k;
+    2. re-rank the ≤ ``k·n_buckets`` survivors per stratum and keep
+       rank ≤ k — the second window's partitions are candidate-sized,
+       never corpus-sized.
+
+    Output: ``(strata_col, key_col, sample_rank)``, rank in [1, k].
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    draw = sample_draw_long(key_col, seed)
+    base = df.select(
+        strata_col, key_col, draw.alias("_draw"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("_sb"),
+    )
+    order = [F.col("_draw").asc(), F.col(key_col).asc()]
+    local = Window.partitionBy(strata_col, "_sb").orderBy(*order)
+    cand = base.withColumn("_lr", F.row_number().over(local)).where(
+        F.col("_lr") <= k
+    )
+    final = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(final))
+        .where(F.col("sample_rank") <= k)
+        .select(strata_col, key_col, F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
 def corpus_mix(
     df: DataFrame,
     weights: dict[str, float],

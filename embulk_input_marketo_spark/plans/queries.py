@@ -2278,6 +2278,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language sampling (the fixed-count face of corpus
+    mixing — eval-set assembly). Two-stage bounded top-k: no task ever
+    sorts a whole language; the oracle is a single QUALIFY-style
+    row_number over the IDENTICAL integer draw, equivalent because any
+    global top-k row is its own salt-bucket's top-k."""
+    from embulk_input_marketo_spark.operators.sampling import (
+        sample_k_per_stratum,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_k_per_stratum(
+        d, strata_col="lang", k=25, key_col="doc_id", seed=7
+    )
+
+
+def _sql_sample_k_per_stratum() -> str:
+    return """
+    SELECT lang, doc_id, rn AS sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(
+                          md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8))
+                        AS BIGINT),
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """
+
+
 def _sql_stratified_sample() -> str:
     return """
     SELECT doc_id, lang, source FROM documents
@@ -3378,6 +3410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_repeated_lines": q_remove_repeated_lines,
     "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
+    "sample_k_per_stratum": q_sample_k_per_stratum,
     "contamination_check": q_contamination_check,
     "pack_documents": q_pack_documents,
     "pack_documents_split": q_pack_documents_split,
@@ -3461,6 +3494,7 @@ ORACLES: dict[str, str] = {
     "remove_repeated_lines": _sql_remove_repeated_lines(),
     "doc_repetition": _sql_doc_repetition(),
     "stratified_sample": _sql_stratified_sample(),
+    "sample_k_per_stratum": _sql_sample_k_per_stratum(),
     "contamination_check": _sql_contamination_check(),
     "pack_documents": _sql_pack_documents(),
     # the split variant answers the same question; same independent oracle

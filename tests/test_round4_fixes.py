@@ -1011,3 +1011,66 @@ class TestGranuleHotBucketSplit:
             e for e in mm.files[str(hot_bucket)] if int(e["v"]) == mm.version
         ]
         assert len(hot_files) > 1, "expected the hot bucket to split"
+
+
+def test_sample_k_per_stratum_exact_and_split_safe(spark):
+    """Fixed-count sampling: exactly min(k, |stratum|) per stratum, the
+    two-stage bounded top-k identical to a single global window, monotone
+    in k, deterministic across repartitioning."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from embulk_input_marketo_spark.operators.sampling import (
+        sample_draw_long,
+        sample_k_per_stratum,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(1, 501)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # "small" has 50 members, "big" 450; k between the two sizes
+    out = sample_k_per_stratum(df, "lang", k=60, key_col="doc_id", seed=7)
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"big": 60, "small": 50}
+    # ranks are 1..n per stratum, no gaps
+    ranks = {
+        (r["lang"], r["sample_rank"]) for r in out.collect()
+    }
+    assert all((lang, i) in ranks
+               for lang, n in (("big", 60), ("small", 50))
+               for i in range(1, n + 1))
+
+    # split result == plain single-window reference (the spec)
+    ref = (
+        df.withColumn("_d", sample_draw_long("doc_id", 7))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("_d").asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .where(F.col("r") <= 60)
+    )
+    assert {(r["lang"], r["doc_id"], r["r"]) for r in ref.collect()} == {
+        (r["lang"], r["doc_id"], r["sample_rank"]) for r in out.collect()
+    }
+
+    # monotone in k: the k=20 set is a prefix of the k=60 set
+    small = {
+        (r["lang"], r["doc_id"])
+        for r in sample_k_per_stratum(
+            df, "lang", k=20, key_col="doc_id", seed=7
+        ).collect()
+    }
+    big = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    assert small < big
+
+    # stable under repartitioning
+    re = {
+        (r["lang"], r["doc_id"], r["sample_rank"])
+        for r in sample_k_per_stratum(
+            df.repartition(13), "lang", k=60, key_col="doc_id", seed=7
+        ).collect()
+    }
+    assert re == {(r["lang"], r["doc_id"], r["sample_rank"]) for r in out.collect()}

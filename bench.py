@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_repetition",
     "stratified_sample",
     "sample_k_per_stratum",
+    "assign_split",
     "contamination_check",
     "near_dup_survivors",
     "token_frequency_stats",

@@ -180,6 +180,56 @@ def stratified_sample(
     return df.where(sample_draw(key_col, seed) < rate)
 
 
+def assign_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — every corpus row lands in
+    exactly one named split, as a pure function of (key, seed).
+
+    ``fractions`` maps split name → share, in BAND ORDER (dict order is the
+    band layout: the first name owns draws in [0, f1), the second
+    [f1, f1+f2), ...); shares must sum to 1 (±1e-9). The LAST band absorbs
+    the float edge, so no row can fall between bands. Properties that make
+    this the standard discipline:
+
+    - reproducible across runs/engines (same md5 draw as every sampler
+      here — the SQL oracle computes the identical band), and stable under
+      repartitioning: membership never depends on row order or partitioning;
+    - leak-safe growth: a NEW document joins a split independently; an
+      existing document NEVER migrates (its draw is fixed), so later corpus
+      additions cannot leak eval documents into train;
+    - widening an EARLIER band only moves rows backward in band order
+      (e.g. growing train shrinks val/test deterministically).
+
+    Scale shape: one codegen'd CASE over the scan — no shuffle, no UDF, no
+    state; pushes down like any deterministic projection. Split-balance per
+    stratum follows from draw uniformity (law of large numbers) — for exact
+    per-stratum counts use :func:`sample_k_per_stratum` instead.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = float(sum(fractions.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    draw = sample_draw(key_col, seed)
+    names = list(fractions)
+    expr = F.lit(names[-1])  # last band absorbs the float edge
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        conds.append((name, cum))
+    for name, hi in reversed(conds):
+        expr = F.when(draw < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def sample_draw_long(key_col: str, seed: int = 42) -> F.Column:
     """The draw as its raw 32-bit integer (the numerator of
     :func:`sample_draw`) — rank comparisons use this, not the divided

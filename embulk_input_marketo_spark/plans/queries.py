@@ -2278,6 +2278,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment over the corpus — one
+    codegen'd CASE on the shared (key, seed) md5 draw, no shuffle. Band
+    edges 0.75/0.875 are exactly representable in binary64, so the oracle's
+    literals are the identical doubles and membership matches bit-for-bit."""
+    from embulk_input_marketo_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_split(
+        d, {"train": 0.75, "valid": 0.125, "test": 0.125},
+        key_col="doc_id", seed=7,
+    ).select("doc_id", "lang", "split")
+
+
+def _sql_assign_split() -> str:
+    return """
+    SELECT doc_id, lang,
+           CASE WHEN d < 0.75 THEN 'train'
+                WHEN d < 0.875 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS d
+      FROM documents
+    )
+    """
+
+
 def q_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-language sampling (the fixed-count face of corpus
     mixing — eval-set assembly). Two-stage bounded top-k: no task ever
@@ -3411,6 +3440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
     "sample_k_per_stratum": q_sample_k_per_stratum,
+    "assign_split": q_assign_split,
     "contamination_check": q_contamination_check,
     "pack_documents": q_pack_documents,
     "pack_documents_split": q_pack_documents_split,
@@ -3495,6 +3525,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": _sql_doc_repetition(),
     "stratified_sample": _sql_stratified_sample(),
     "sample_k_per_stratum": _sql_sample_k_per_stratum(),
+    "assign_split": _sql_assign_split(),
     "contamination_check": _sql_contamination_check(),
     "pack_documents": _sql_pack_documents(),
     # the split variant answers the same question; same independent oracle

@@ -1074,3 +1074,52 @@ def test_sample_k_per_stratum_exact_and_split_safe(spark):
         ).collect()
     }
     assert re == {(r["lang"], r["doc_id"], r["sample_rank"]) for r in out.collect()}
+
+
+def test_assign_split_bands_and_stability(spark):
+    """Every row lands in exactly one split; bands follow dict order with
+    the float edge absorbed by the last; membership is a pure function of
+    (key, seed) so repartitioning cannot move a row; bad fractions raise."""
+    import pytest
+
+    from embulk_input_marketo_spark.operators.sampling import (
+        assign_split,
+        sample_draw,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(1, 401)], ["doc_id"]
+    )
+    fr = {"train": 0.75, "valid": 0.125, "test": 0.125}
+    out = assign_split(df, fr, key_col="doc_id", seed=7)
+    rows = out.withColumn("_d", sample_draw("doc_id", 7)).collect()
+    assert len(rows) == 400  # total function: nothing dropped or doubled
+    for r in rows:
+        want = ("train" if r["_d"] < 0.75
+                else "valid" if r["_d"] < 0.875 else "test")
+        assert r["split"] == want, (r["doc_id"], r["_d"], r["split"])
+    counts = {r["split"] for r in rows}
+    assert counts == {"train", "valid", "test"}  # 400 draws hit all bands
+
+    re = {(r["doc_id"], r["split"])
+          for r in assign_split(
+              df.repartition(11), fr, key_col="doc_id", seed=7
+          ).collect()}
+    assert re == {(r["doc_id"], r["split"]) for r in rows}
+
+    # widening an earlier band only moves rows BACKWARD in band order
+    wide = {r["doc_id"]: r["split"]
+            for r in assign_split(
+                df, {"train": 0.875, "valid": 0.0625, "test": 0.0625},
+                key_col="doc_id", seed=7,
+            ).collect()}
+    order = {"train": 0, "valid": 1, "test": 2}
+    for r in rows:
+        assert order[wide[r["doc_id"]]] <= order[r["split"]]
+
+    with pytest.raises(ValueError):
+        assign_split(df, {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError):
+        assign_split(df, {})
+    with pytest.raises(ValueError):
+        assign_split(df, {"a": 1.5, "b": -0.5})

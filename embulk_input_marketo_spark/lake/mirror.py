@@ -88,13 +88,32 @@ def create_mirror(
 
 def _reconcile_schema(src_m, dst: LakeTable) -> list:
     src_fields = {f.name: f for f in src_m.current_schema().fields}
-    dst_fields = {f.name for f in dst.manifest().current_schema().fields}
+    dst_schema = {
+        f.name: f for f in dst.manifest().current_schema().fields
+    }
+    dst_fields = set(dst_schema)
     extra = dst_fields - set(src_fields)
     if extra:
         raise ValueError(
             f"replica {dst.path} has columns the source lacks "
             f"{sorted(extra)}: renames/drops do not auto-propagate — "
             "apply the matching evolve_schema to the replica explicitly"
+        )
+    # same-name TYPE divergence is just as destructive as a rename and must
+    # not be papered over by the merge's cast-to-replica-schema: name the
+    # divergence instead of silently narrowing/widening replica data
+    mismatched = sorted(
+        f"{n} (source {src_fields[n].dataType.simpleString()}, "
+        f"replica {dst_schema[n].dataType.simpleString()})"
+        for n in src_fields
+        if n in dst_schema
+        and src_fields[n].dataType != dst_schema[n].dataType
+    )
+    if mismatched:
+        raise ValueError(
+            f"replica {dst.path} column types diverge from the source: "
+            f"{mismatched} — type changes do not auto-propagate; evolve "
+            "the replica explicitly before syncing"
         )
     added = []
     changes = []

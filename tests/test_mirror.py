@@ -152,6 +152,25 @@ class TestMirror:
         with pytest.raises(ValueError, match="renames/drops do not"):
             sync_mirror(spark, src, dst)
 
+    def test_replica_type_divergence_raises(self, spark, tmp_path):
+        """A same-name column whose TYPE diverges between source and
+        replica must raise, not be papered over by the merge's cast."""
+        import pytest
+
+        src = _src(tmp_path, spark)
+        dst = create_mirror(src, str(tmp_path / "dst"))
+        sync_mirror(spark, src, dst)
+        src.evolve_schema([{"change": "add", "name": "score",
+                            "type": "long"}])
+        dst.evolve_schema([{"change": "add", "name": "score",
+                            "type": "string"}])
+        b = _batch(spark, [("z", 9, 1, "I", 9)]).withColumn(
+            "score", F.lit(7).cast("long")
+        )
+        merge_batch(spark, src, b, batch_id="bz", lsn_col="lsn")
+        with pytest.raises(ValueError, match="column types diverge"):
+            sync_mirror(spark, src, dst)
+
     def test_rebucketed_replica_converges(self, spark, tmp_path):
         src = _src(tmp_path, spark)
         dst = create_mirror(src, str(tmp_path / "dst"), n_buckets=2)

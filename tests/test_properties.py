@@ -312,3 +312,67 @@ def test_lake_random_op_interleavings_match_model(
     # every retained snapshot stays readable (manifest chain integrity)
     for m in table.history():
         table.read(spark, version=m.version).collect()
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=80,
+                 unique=True),
+    n_strata=st.integers(1, 4),
+    k=st.integers(1, 12),
+    seed=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_sampler_invariants_for_random_corpora(spark, ids, n_strata, k, seed):
+    """For arbitrary corpora: sample_k_per_stratum returns exactly
+    min(k, |stratum|) rows per stratum with contiguous ranks, is monotone
+    in k, and matches a pure-python reference over the same md5 draw;
+    assign_split is a total function whose bands match the same draw."""
+    import hashlib
+
+    from embulk_input_marketo_spark.operators.sampling import (
+        assign_split,
+        sample_k_per_stratum,
+    )
+
+    rows = [(i, f"s{i % n_strata}") for i in ids]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def draw(i):
+        h = hashlib.md5(f"{i}|{seed}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    got = sample_k_per_stratum(
+        df, "lang", k=k, key_col="doc_id", seed=seed, n_buckets=8
+    ).collect()
+    by_stratum: dict = {}
+    for r in got:
+        by_stratum.setdefault(r["lang"], []).append(
+            (r["sample_rank"], r["doc_id"])
+        )
+    for s in {f"s{i % n_strata}" for i in ids}:
+        members = sorted(
+            (draw(i), i) for i in ids if f"s{i % n_strata}" == s
+        )
+        want = [i for _, i in members[:k]]
+        picked = sorted(by_stratum.get(s, []))
+        assert [r for r, _ in picked] == list(range(1, len(want) + 1))
+        assert [d for _, d in picked] == want
+
+    if k > 1:  # monotone: the (k-1)-sample is a prefix of the k-sample
+        smaller = {
+            (r["lang"], r["doc_id"])
+            for r in sample_k_per_stratum(
+                df, "lang", k=k - 1, key_col="doc_id", seed=seed, n_buckets=8
+            ).collect()
+        }
+        assert smaller <= {(r["lang"], r["doc_id"]) for r in got}
+
+    split = assign_split(
+        df, {"train": 0.75, "valid": 0.125, "test": 0.125},
+        key_col="doc_id", seed=seed,
+    ).collect()
+    assert len(split) == len(ids)
+    for r in split:
+        d = draw(r["doc_id"]) / 2**32
+        want = "train" if d < 0.75 else "valid" if d < 0.875 else "test"
+        assert r["split"] == want

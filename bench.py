@@ -26,6 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
@@ -90,8 +91,18 @@ def main() -> None:
     from embulk_input_marketo_spark.session import get_spark
 
     # UI on for this session: the hotkey section reads per-task shuffle
-    # metrics from the REST API to evidence the split operators' task bound
-    spark = get_spark("bench", cores=CPUS, extra_conf={"spark.ui.enabled": "true"})
+    # metrics from the REST API to evidence the split operators' task bound.
+    # Console progress OFF: its \r stream interleaves with the one-line JSON
+    # on stdout and has twice nulled the driver's BENCH_r*.json tail-grab
+    # (round-4 VERDICT item 4). The UI server itself stays on.
+    spark = get_spark(
+        "bench",
+        cores=CPUS,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/session so query timings measure the plan, not startup
@@ -151,6 +162,26 @@ def main() -> None:
         "max_bucket": int(_ls["max_bucket"] or 0),
         "oversize_buckets": int(_ls["oversize_buckets"] or 0),
         "rows_dropped": int(_ls["rows_dropped"] or 0),
+    }
+
+    # ---- semantic-dedup cell-guard visibility -----------------------------
+    # semantic_dedup_pairs' max_cell_size guard (round-4 VERDICT item 2):
+    # same fixture + clustering parameters as the semantic_dedup headline
+    # query, recorded next to lsh_bucket_stats so the quadratic-corner guard
+    # has a per-round observable just like the LSH one.
+    from embulk_input_marketo_spark.functions.similarity import (
+        semantic_cell_stats,
+    )
+    from embulk_input_marketo_spark.plans.queries import _emb_with_planted
+
+    _sc = semantic_cell_stats(
+        _emb_with_planted(spark, SF_DIR), n_cells=32, max_cell_size=1000
+    ).collect()[0]
+    semantic_guard = {
+        "cells_used": int(_sc["n_cells_used"] or 0),
+        "max_cell": int(_sc["max_cell"] or 0),
+        "oversize_cells": int(_sc["n_oversize_cells"] or 0),
+        "rows_dropped": int(_sc["rows_in_oversize"] or 0),
     }
 
     # ---- hot-key split-operator design point ------------------------------
@@ -394,24 +425,31 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "change-events/sec sustained upsert throughput + headline query wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc": cdc,
-                "hotkey": hotkey,
-                "cpus": CPUS,
-                "cdc_cpus": cdc_cpus,
-                "lsh_bucket_stats": lsh_guard,
-                "query_repeats": repeats,
-                "query_noise_maxmin": query_spread,
-            }
-        )
-    )
+    record = {
+        "metric": "change-events/sec sustained upsert throughput + headline query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "hotkey": hotkey,
+        "cpus": CPUS,
+        "cdc_cpus": cdc_cpus,
+        "lsh_bucket_stats": lsh_guard,
+        "semantic_cell_stats": semantic_guard,
+        "query_repeats": repeats,
+        "query_noise_maxmin": query_spread,
+    }
+    line = json.dumps(record)
+    # Self-preserving record: the driver captures this print from the console
+    # tail, which console noise can corrupt (it did in rounds 2 and 4). The
+    # file copy under BENCH/ is the backup the per-round record never loses.
+    try:
+        with open(os.path.join(REPO_DIR, "BENCH", "last_bench.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
     spark.stop()
 
 

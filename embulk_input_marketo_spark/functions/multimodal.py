@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video payloads as opaque ``binary``
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode/resize/frame-sample kernels themselves are STUBS (no image/audio
-libraries ship in this container) behind a clearly-marked seam — but the
-Spark-side contract is real and tested: schema, batch shape, partition-safe
-iteration, and zero per-row Python outside the Arrow batches.
+Image decode/resize are REAL for PNG (8-bit, all five filters), BMP (24-bit
+BI_RGB) and PPM/PGM via the pure stdlib+numpy codecs in
+:mod:`functions.imagecodec` (r4 VERDICT item 3); ``deterministic_fake=True``
+(test/back-compat mode) keeps the seeded byte-derived kernels. The
+``NotImplementedError`` seam remains ONLY for codecs that genuinely need an
+external library (JPEG/GIF/WebP; video demux needs ffmpeg). The Spark-side
+contract — schema, batch shape, partition-safe iteration, zero per-row
+Python outside Arrow batches — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -66,20 +70,27 @@ def decode_and_featurize_images(
 ) -> DataFrame:
     """Image decode → feature-extract over mapInPandas.
 
-    With ``deterministic_fake`` (default, used in tests) the "decoder"
+    With ``deterministic_fake`` (test/back-compat mode) the "decoder"
     produces a seeded, byte-derived fake so the distributed plumbing is
-    exercised end-to-end. With it off, this raises NotImplementedError at the
-    decode seam — plug in PIL/libvips/ffmpeg there on a real cluster.
+    exercised end-to-end with arbitrary bytes. With it off, payloads are
+    REALLY decoded (PNG/BMP/PPM/PGM via :mod:`functions.imagecodec`) and
+    featurized with a 2×2 per-channel block-mean map; recognized-but-
+    unsupported codecs (JPEG/GIF/WebP) raise NotImplementedError — that is
+    the only remaining seam (plug PIL/turbojpeg in there on a real cluster).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from embulk_input_marketo_spark.functions import imagecodec
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image decode requires an imaging library; not shipped "
-                    "in this container — plug PIL/turbojpeg in here"
-                )
             payload = pdf[payload_col]
+
+            def real_decode(b):
+                if b is None:
+                    return (None, None, None, None)
+                arr = imagecodec.decode_image(bytes(b))
+                h, w, c = arr.shape
+                return (w, h, c, imagecodec.mean_channel_features(arr))
 
             def fake_decode(b):
                 if b is None:
@@ -90,7 +101,7 @@ def decode_and_featurize_images(
                 feats = [float(x) / 255.0 for x in bb[:8]]
                 return (w, h, 3, feats)
 
-            decoded = payload.map(fake_decode)
+            decoded = payload.map(fake_decode if deterministic_fake else real_decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -123,21 +134,34 @@ def resize_images(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Image resize over mapInPandas: binary in → binary out at the target
-    dimensions. Same stub policy as decode: the resample kernel needs an
-    imaging library (plug PIL/libvips at the seam); the deterministic fake
-    emits a byte-derived payload of exactly ``target_w*target_h`` bytes so
-    the binary-out contract (schema, sizes, null passthrough) is tested for
-    real. Output stays one row per input — resize is a map, not a fan-out."""
+    dimensions. With ``deterministic_fake`` off this is a REAL resize:
+    decode (PNG/BMP/PNM, :mod:`functions.imagecodec`) → exact-integer-map
+    nearest-neighbor resample → canonical PNM re-encode, so the output is
+    deterministic and oracle-replayable byte-for-byte
+    (``plans/queries.q_image_resize_real``). The deterministic fake emits a
+    byte-derived payload of exactly ``target_w*target_h`` bytes so the
+    binary-out contract (schema, sizes, null passthrough) is testable with
+    arbitrary bytes. Output stays one row per input — resize is a map, not
+    a fan-out."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from embulk_input_marketo_spark.functions import imagecodec
+
         n = target_w * target_h
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image resample requires an imaging library; plug "
-                    "PIL/libvips in here"
-                )
             payload = pdf[payload_col]
+
+            def real_resize(b):
+                if b is None:
+                    return None
+                arr = imagecodec.decode_image(bytes(b))
+                if arr.shape[2] == 2:  # gray+alpha → gray (PNM has no alpha)
+                    arr = arr[:, :, :1]
+                elif arr.shape[2] == 4:  # RGBA → RGB
+                    arr = arr[:, :, :3]
+                return imagecodec.encode_pnm(
+                    imagecodec.resize_nearest(arr, target_w, target_h)
+                )
 
             def fake_resize(b):
                 if b is None:
@@ -151,7 +175,9 @@ def resize_images(
                     "doc_id": pdf[id_col],
                     "width": target_w,
                     "height": target_h,
-                    "payload": payload.map(fake_resize),
+                    "payload": payload.map(
+                        fake_resize if deterministic_fake else real_resize
+                    ),
                 }
             )
 

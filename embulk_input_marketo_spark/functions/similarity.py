@@ -589,6 +589,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cell_size: int | None = 1000,
 ) -> DataFrame:
     """Within-cluster near-duplicate pair discovery over an embedding column
     — the candidate stage of SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
@@ -603,9 +604,17 @@ def semantic_dedup_pairs(
     shuffle), and the pair join shuffles once on the int cell id. The
     quadratic blow-up inside a cell is bounded by the SemDeDup design knob
     itself — n_cells scales with the corpus so clusters stay small (the
-    paper uses k=50k for 5B docs); a degenerate giant cell is the LSH
-    skew-guard situation and the same remedy applies (split or route to
-    exact dedup).
+    paper uses k=50k for 5B docs) — and, because a degenerate embedding
+    space can still collapse into one giant cell (all-zero vectors, one
+    boilerplate template embedded a billion times), by ``max_cell_size``:
+    cells larger than it are EXCLUDED from pair generation, the exact
+    ``minhash_lsh_pairs(max_bucket_size=…)`` skew guard. The drops are not
+    silent — :func:`semantic_cell_stats` (same parameters) reports how many
+    cells and member rows the guard excluded; run it alongside wherever
+    dropped mass matters (``bench.py`` records it next to
+    ``lsh_bucket_stats``). ``None`` disables the guard. Members of a
+    dropped cell still reach :func:`semantic_dedup` output as singletons —
+    a giant cell is exact/LSH-dedup territory, which handles it at O(n).
 
     Returns (left_id, right_id, cos_sim) with ``round(cos, 6) >= threshold``
     and both docs in the same cell."""
@@ -631,6 +640,19 @@ def semantic_dedup_pairs(
     cells = cells.withColumn("_nrm", _norm(F.col(vec_col))).repartition(
         F.col("_cell")
     )
+    if max_cell_size is not None:
+        # Skew guard: count-over-window partitioned by the SAME key as the
+        # repartition above, so it rides the existing exchange (no second
+        # shuffle) and oversize cells drop out of BOTH join sides at once.
+        from pyspark.sql.window import Window as W
+
+        cells = (
+            cells.withColumn(
+                "_csz", F.count(F.lit(1)).over(W.partitionBy("_cell"))
+            )
+            .where(F.col("_csz") <= max_cell_size)
+            .drop("_csz")
+        )
     a = cells.select(
         F.col(id_col).alias("left_id"),
         F.col(vec_col).alias("_vl"),
@@ -666,12 +688,16 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cell_size: int | None = 1000,
 ) -> DataFrame:
     """The complete SemDeDup pipeline: cluster → within-cluster cosine pairs
     (:func:`semantic_dedup_pairs`) → connected components → min-id survivor
     per semantic-duplicate group (``operators/dedup_docs.near_dup_survivors``
     — the same distributed large-star/small-star resolution the text-dedup
-    pipelines use; no driver-side grouping).
+    pipelines use; no driver-side grouping). ``max_cell_size`` is the
+    pair-stage skew guard (see :func:`semantic_dedup_pairs`); members of a
+    guarded-out cell come back as singletons (keep=true), never silently
+    vanish — :func:`semantic_cell_stats` quantifies what the guard skipped.
 
     Returns one row per embedding: (``id_col``, component_id, keep)."""
     from embulk_input_marketo_spark.operators.dedup_docs import (
@@ -679,8 +705,46 @@ def semantic_dedup(
     )
 
     pairs = semantic_dedup_pairs(
-        embeddings, n_cells, threshold, id_col, vec_col, centroids
+        embeddings, n_cells, threshold, id_col, vec_col, centroids,
+        max_cell_size=max_cell_size,
     )
     return near_dup_survivors(
         embeddings.select(F.col(id_col)), pairs, id_col=id_col
+    )
+
+
+def semantic_cell_stats(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    max_cell_size: int | None = 1000,
+) -> DataFrame:
+    """Skew diagnostics for :func:`semantic_dedup_pairs` — the exact twin of
+    ``operators/dedup_docs.lsh_bucket_stats``: with the same clustering
+    parameters, how many cells the assignment produced, the largest cell,
+    and how many cells / member rows the ``max_cell_size`` guard EXCLUDES
+    from pair generation — so the guard's data loss is observable instead of
+    silent. One summary row; ``bench.py`` records it in the per-round JSON
+    next to ``lsh_bucket_stats``.
+
+    Cost: one assignment pass (broadcast centroids, no shuffle) plus one
+    int-key count aggregate — O(cells) output, safe at any corpus size."""
+    limit = max_cell_size if max_cell_size is not None else (1 << 62)
+    cells = assign_cells(
+        embeddings,
+        centroids if centroids is not None else md5_centroids(
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+        ),
+        vec_col=vec_col,
+        round_scores=6,
+    ).select(F.col(id_col), "_cell")
+    sizes = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.max("sz").alias("max_cell"),
+        F.count_if(F.col("sz") > limit).alias("n_oversize_cells"),
+        F.sum(F.when(F.col("sz") > limit, F.col("sz")).otherwise(0))
+        .alias("rows_in_oversize"),
     )

@@ -663,7 +663,12 @@ def chunk_documents(
         raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
     stride = size - overlap
     ids = id_cols or ["doc_id"]
-    t = F.trim(F.col(text_col))
+    # FULL whitespace strip, not trim(): trim strips only spaces, and
+    # split(\s+) keeps a leading/trailing empty token when the text is
+    # tab/newline-padded — that empty token would count in n_tokens and a
+    # tab-only doc would emit a phantom chunk (r4 ADVICE). The oracle
+    # mirrors this normalization.
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     words = F.split(t, r"\s+")
     n = F.size(words)
     extra = F.greatest(

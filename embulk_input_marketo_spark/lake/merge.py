@@ -395,6 +395,7 @@ def merge_batch(
     lineage: dict[str, Any] | None = None,
     publish: bool = True,
     derive: dict[str, Any] | None = None,
+    bloom_fast_path: bool = False,
 ) -> MergeResult:
     """Apply a LWW-deduped CDC batch (one row per key) to the table.
 
@@ -440,6 +441,19 @@ def merge_batch(
     cow folds base rows by LWW, so a placeholder could win a fold and
     persist — there derive is applied BEFORE the merge (no bandwidth win,
     same result). Keys must be current-schema columns.
+
+    bloom_fast_path (cow only; mor never reads base data on merge): probe
+    the per-bucket key blooms with the batch's keys BEFORE the fold — a
+    bucket whose bloom proves EVERY incoming key absent skips the base read
+    and rewrite entirely and appends its (within-batch-reduced) rows as a
+    new generation instead, exactly the :meth:`LakeTable.exists_join`
+    prefilter applied at the write path. Insert-heavy workloads (a web
+    crawl's mostly-new-urls frontier) touch zero existing data files.
+    Sound because blooms have no false negatives; a false positive only
+    routes the bucket to the normal fold. Skipped buckets become
+    merge-on-read (their read LWW-folds generations) until a later fold or
+    compaction collapses them — buckets already holding ≥ 8 generations
+    fold regardless, bounding read amplification.
     """
     m = table.manifest()
     if _already_applied(m, batch_id, window, channel):
@@ -453,6 +467,7 @@ def merge_batch(
         return _merge_cow(
             spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
             checkpoint, window, channel, lineage, publish,
+            bloom_fast_path=bloom_fast_path,
         )
 
     staged = _stage_mor(
@@ -843,18 +858,46 @@ def commit_staged_merge(
 def _merge_cow(
     spark, table, m, batch_full, batch_id, full_cols, salt_buckets,
     checkpoint, window, channel, lineage, publish=True,
+    bloom_fast_path=False,
 ) -> MergeResult:
-    """Copy-on-write path: every touched bucket folds each commit. Null-key
-    rows are counted from the same stats collect and dropped (see
-    merge_batch docstring for the policy)."""
+    """Copy-on-write path: every touched bucket folds each commit — unless
+    ``bloom_fast_path`` proves a bucket's incoming keys all-absent, in which
+    case that bucket APPENDS a new generation instead of reading + rewriting
+    (see merge_batch docstring). Null-key rows are counted from the same
+    stats collect and dropped (see merge_batch docstring for the policy)."""
     key = m.key_col
     batch_full.persist()
     try:
+        might_col = F.lit(True)
+        if bloom_fast_path and m.bloom_conf:
+            from embulk_input_marketo_spark.lake import bloom as B
+
+            blooms = {
+                int(b): B.load_bloom(table.meta_dir, p)[0].tobytes()
+                for b, p in m.bloom_ptrs.items()
+            }
+            bblooms = spark.sparkContext.broadcast(blooms)
+            bdata = spark.sparkContext.broadcast({int(b) for b in set(m.files)})
+            _might = B.make_might_contain_udf(
+                bblooms, bdata,
+                int(m.bloom_conf["m_bits"]), int(m.bloom_conf["k"]),
+            )
+            # no false negatives: True for null keys / unbloomed buckets is
+            # merely conservative (routes to the fold)
+            might_col = F.when(F.col(key).isNull(), F.lit(True)).otherwise(
+                _might(
+                    F.col("_b"),
+                    F.xxhash64(F.col(key)),
+                    F.xxhash64(F.col(key), F.lit(1)),
+                )
+            )
         stats = (
-            batch_full.groupBy("_b", F.col(key).isNull().alias("_nk"))
+            batch_full.withColumn("_might", might_col)
+            .groupBy("_b", F.col(key).isNull().alias("_nk"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_if(F.col("_deleted")).alias("d"),
+                F.max("_might").alias("might"),
             )
             .collect()
         )
@@ -867,13 +910,41 @@ def _merge_cow(
                 False, m.version, 0, 0, 0, 0, rows_null_key=rows_null_key
             )
 
-        old = table.read(
-            spark, buckets=touched, include_internal=True
-        ).withColumn("_b", bucket_expr(key, m.n_buckets))
+        # append-eligible: the bloom proved every batch key absent AND the
+        # bucket hasn't accumulated too many generations (≥ 8 folds anyway,
+        # bounding the read amplification the skipped folds defer)
+        append_set = {
+            r["_b"]
+            for r in stats
+            if not r["_nk"] and not r["might"]
+            and len(m.files.get(str(r["_b"]), [])) < 8
+        } if bloom_fast_path and m.bloom_conf else set()
+        fold_buckets = [b for b in touched if b not in append_set]
+
+        batch_clean = batch_full.where(F.col(key).isNotNull()).select(
+            *full_cols, "_b"
+        )
+        parts = []
+        if fold_buckets or not append_set:
+            fold_in = (
+                batch_clean
+                if not append_set
+                else batch_clean.where(F.col("_b").isin(fold_buckets))
+            )
+            if fold_buckets:
+                old = table.read(
+                    spark, buckets=fold_buckets, include_internal=True
+                ).withColumn("_b", bucket_expr(key, m.n_buckets))
+                fold_in = fold_in.unionByName(old.select(*full_cols, "_b"))
+            parts.append(fold_in)
+        if append_set:
+            # skipped buckets never read base data: their rows just reduce
+            # within the batch and append as a fresh generation
+            parts.append(
+                batch_clean.where(F.col("_b").isin(sorted(append_set)))
+            )
         merged = lww_dedup(
-            batch_full.where(F.col(key).isNotNull())
-            .select(*full_cols, "_b")
-            .unionByName(old.select(*full_cols, "_b")),
+            parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]),
             key_cols=key,
             order_cols=[m.lww_major, "_lsn"],
             salt_buckets=salt_buckets,
@@ -894,14 +965,35 @@ def _merge_cow(
             stats_col=m.key_col, major_col=m.lww_major,
         )
         files = m.files.with_updates(
-            {str(b): new_files.get(str(b), []) for b in touched}
+            {
+                str(b): (
+                    list(m.files.get(str(b), [])) + new_files.get(str(b), [])
+                    if b in append_set
+                    else new_files.get(str(b), [])
+                )
+                for b in touched
+            }
         )
-        bloom_updates = _bloom_ptr_updates(
-            spark, table, m, new_files, new_version, mode="rebuild"
-        )
+        nf_fold = {
+            b: e for b, e in new_files.items() if int(b) not in append_set
+        }
+        nf_append = {
+            b: e for b, e in new_files.items() if int(b) in append_set
+        }
+        bloom_updates = {
+            **_bloom_ptr_updates(
+                spark, table, m, nf_fold, new_version, mode="rebuild"
+            ),
+            **_bloom_ptr_updates(
+                spark, table, m, nf_append, new_version, mode="union"
+            ),
+        }
         bucket_bytes = dict(m.bucket_bytes)
         for b in touched:
-            bucket_bytes[str(b)] = _bytes_of(new_files.get(str(b), []))
+            add = _bytes_of(new_files.get(str(b), []))
+            bucket_bytes[str(b)] = (
+                bucket_bytes.get(str(b), 0) + add if b in append_set else add
+            )
         applied, ckpt = _commit_bookkeeping(m, batch_id, checkpoint, window, channel)
         nm = Manifest(
             version=new_version,
@@ -923,7 +1015,8 @@ def _merge_cow(
                 "rows_deleted": rows_deleted,
                 "rows_null_key": rows_null_key,
                 "touched_buckets": len(touched),
-                "compacted_buckets": len(touched),
+                "compacted_buckets": len(fold_buckets),
+                "bloom_skipped_buckets": len(append_set),
                 "mode": "cow",
                 "lineage": lineage or {},
             },
@@ -938,7 +1031,7 @@ def _merge_cow(
             table.write_staged(batch_id, nm)
         return MergeResult(
             True, new_version, rows_in, rows_in - rows_deleted, rows_deleted,
-            len(touched), compacted_buckets=len(touched),
+            len(touched), compacted_buckets=len(fold_buckets),
             rows_null_key=rows_null_key, staged=not publish,
         )
     finally:

@@ -376,3 +376,121 @@ def test_sampler_invariants_for_random_corpora(spark, ids, n_strata, k, seed):
         d = draw(r["doc_id"]) / 2**32
         want = "train" if d < 0.75 else "valid" if d < 0.875 else "test"
         assert r["split"] == want
+
+
+# ---------------------------------------------------------------------------
+# stateful CDF/follower invariant (r4 VERDICT item 9): random interleavings
+# of merge / delete_where / compact / restore with follower maintains — the
+# signed-delta rollup must equal a full recompute of the current table state
+# after EVERY maintain, whatever landed in between.
+# ---------------------------------------------------------------------------
+
+_feed_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.lists(
+            st.tuples(
+                st.integers(0, 5),                 # key
+                st.integers(0, 200),               # ts offset
+                st.sampled_from(["U", "U", "D"]),  # op
+                st.integers(0, 30),                # value (nonneg: floor-safe)
+            ),
+            min_size=1, max_size=8,
+        )),
+        st.tuples(st.just("delete"), st.integers(0, 30)),
+        st.tuples(st.just("compact"), st.integers(0, 3)),
+        st.tuples(st.just("restore"), st.integers(0, 6)),
+        st.tuples(st.just("maintain"), st.none()),
+    ),
+    min_size=3, max_size=10,
+).filter(lambda ops: any(k == "maintain" for k, _ in ops))
+
+
+@given(ops=_feed_ops)
+@settings(**SETTINGS)
+def test_follower_rollup_matches_recompute_under_random_ops(
+    spark, tmp_path_factory, ops
+):
+    from embulk_input_marketo_spark.lake import LakeTable
+    from embulk_input_marketo_spark.lake.follow import ChangeFeedFollower
+    from embulk_input_marketo_spark.lake.merge import (
+        compact_buckets, delete_where, merge_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(dir=str(tmp_path_factory.getbasetemp()))
+    table = LakeTable.create(
+        os.path.join(work, "t"), schema, key_col="url",
+        lww_major="warc_ts", n_buckets=4,
+    )
+    follower = ChangeFeedFollower(
+        table,
+        os.path.join(work, "state"),
+        group_exprs=[(F.col("url").cast("long") % 2).alias("grp")],
+        group_names=["grp"],
+        measure=F.floor(F.col("value")).cast("long"),
+    )
+
+    def recompute():
+        return {
+            (r["grp"], r["n"], r["s"])
+            for r in table.read(spark)
+            .groupBy((F.col("url").cast("long") % 2).alias("grp"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.floor(F.col("value")).cast("long")).alias("s"),
+            )
+            .collect()
+        }
+
+    def rollup():
+        return {
+            (r["grp"], r["n_rows"], r["vsum"])
+            for r in follower.rollup(spark).collect()
+        }
+
+    lsn = 0
+    maintained = False
+    for kind, arg in ops:
+        if kind == "merge":
+            rows = [
+                (str(k), EPOCH + datetime.timedelta(seconds=ts), float(v),
+                 op, lsn + j)
+                for j, (k, ts, op, v) in enumerate(arg)
+            ]
+            lsn += len(arg)
+            merge_batch(
+                spark, table,
+                spark.createDataFrame(
+                    rows,
+                    "url string, warc_ts timestamp, value double,"
+                    " op string, lsn long",
+                ),
+                batch_id=f"b{lsn}", lsn_col="lsn",
+            )
+        elif kind == "delete":
+            delete_where(spark, table, F.col("value") >= float(arg))
+        elif kind == "compact":
+            buckets = sorted(int(b) for b in set(table.manifest().files))
+            if buckets:
+                compact_buckets(spark, table, buckets[arg % len(buckets):])
+        elif kind == "restore":
+            versions = [m.version for m in table.history()]
+            target = versions[arg % len(versions)]
+            if target < table.current_version():
+                table.restore(target)
+        elif kind == "maintain":
+            follower.maintain(spark)
+            maintained = True
+            assert rollup() == recompute()
+
+    # the run must end caught-up and still exact
+    follower.maintain(spark)
+    assert rollup() == recompute()
+    assert maintained
+    assert follower.poll(spark) is None

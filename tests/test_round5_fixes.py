@@ -121,6 +121,213 @@ class TestStrictLongCoercion:
         assert [r.v for r in df.collect()] == [12.5, 3.0, None]
 
 
+class TestCowBloomFastPath:
+    """r4 VERDICT item 8: cow merges probe the per-bucket key blooms first;
+    a bucket whose incoming keys are all provably absent appends a new
+    generation instead of reading + rewriting its base data."""
+
+    SCHEMA = None  # built lazily (needs pyspark types)
+
+    def _table(self, tmp_path, spark, name="t"):
+        from pyspark.sql import types as T
+
+        from embulk_input_marketo_spark.lake.table import LakeTable
+
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        return LakeTable.create(
+            str(tmp_path / name), schema, key_col="url",
+            lww_major="warc_ts", n_buckets=4, bloom_bits=1 << 14,
+        )
+
+    def _batch(self, spark, rows, base=0):
+        import datetime
+
+        def ts(i):
+            return datetime.datetime(2026, 1, 1) + datetime.timedelta(
+                seconds=i
+            )
+
+        return spark.createDataFrame(
+            [
+                (u, ts(base + i), f"t{u}@{base}", op, base + i)
+                for i, (u, op) in enumerate(rows)
+            ],
+            "url string, warc_ts timestamp, text string, op string,"
+            " _lsn long",
+        )
+
+    def _spy_read(self, table):
+        calls = []
+        orig = table.read
+
+        def spy(*a, **kw):
+            calls.append(kw.get("buckets"))
+            return orig(*a, **kw)
+
+        table.read = spy
+        return calls
+
+    def test_all_new_keys_read_zero_base_files(self, tmp_path, spark):
+        from embulk_input_marketo_spark.lake.merge import merge_batch
+
+        t = self._table(tmp_path, spark)
+        merge_batch(
+            spark, t, self._batch(spark, [(f"a{i}", "I") for i in range(20)]),
+            "b1", mode="cow",
+        )
+        calls = self._spy_read(t)
+        r = merge_batch(
+            spark, t,
+            self._batch(spark, [(f"b{i}", "I") for i in range(20)], base=100),
+            "b2", mode="cow", bloom_fast_path=True,
+        )
+        assert calls == [], "all-new-keys batch must not read base data"
+        assert r.applied and r.compacted_buckets == 0
+        m = t.manifest()
+        assert m.summary["bloom_skipped_buckets"] == m.summary["touched_buckets"] > 0
+        # skipped buckets carry the old generation PLUS the appended one
+        assert any(len(m.files[b]) == 2 for b in set(m.files))
+        urls = {r.url for r in t.read(spark).collect()}
+        assert urls == {f"a{i}" for i in range(20)} | {
+            f"b{i}" for i in range(20)
+        }
+
+    def test_mixed_batch_folds_only_hit_buckets(self, tmp_path, spark):
+        from embulk_input_marketo_spark.lake.merge import merge_batch
+
+        t = self._table(tmp_path, spark)
+        merge_batch(
+            spark, t, self._batch(spark, [(f"a{i}", "I") for i in range(20)]),
+            "b1", mode="cow",
+        )
+        calls = self._spy_read(t)
+        merge_batch(
+            spark, t,
+            self._batch(
+                spark,
+                [("a5", "U")] + [(f"c{i}", "I") for i in range(10)],
+                base=200,
+            ),
+            "b2", mode="cow", bloom_fast_path=True,
+        )
+        assert len(calls) == 1 and len(calls[0]) >= 1  # only hit buckets read
+        rows = {r.url: r.text for r in t.read(spark).collect()}
+        assert rows["a5"] == "ta5@200"  # the update won LWW through the fold
+        assert rows["a4"] == "ta4@0"
+        assert set(rows) == {f"a{i}" for i in range(20)} | {
+            f"c{i}" for i in range(10)
+        }
+
+    def test_absent_key_delete_appends_tombstone(self, tmp_path, spark):
+        from embulk_input_marketo_spark.lake.merge import merge_batch
+
+        t = self._table(tmp_path, spark)
+        merge_batch(
+            spark, t, self._batch(spark, [(f"a{i}", "I") for i in range(8)]),
+            "b1", mode="cow",
+        )
+        calls = self._spy_read(t)
+        merge_batch(
+            spark, t,
+            self._batch(spark, [("zzz-absent", "D"), ("new1", "I")], base=50),
+            "b2", mode="cow", bloom_fast_path=True,
+        )
+        assert calls == []
+        urls = {r.url for r in t.read(spark).collect()}
+        assert "zzz-absent" not in urls and "new1" in urls
+
+    def test_default_off_always_folds(self, tmp_path, spark):
+        from embulk_input_marketo_spark.lake.merge import merge_batch
+
+        t = self._table(tmp_path, spark)
+        merge_batch(
+            spark, t, self._batch(spark, [(f"a{i}", "I") for i in range(20)]),
+            "b1", mode="cow",
+        )
+        calls = self._spy_read(t)
+        merge_batch(
+            spark, t,
+            self._batch(spark, [(f"b{i}", "I") for i in range(20)], base=100),
+            "b2", mode="cow",
+        )
+        assert len(calls) == 1
+
+    def test_generation_bound_forces_fold(self, tmp_path, spark):
+        from embulk_input_marketo_spark.lake.merge import merge_batch
+
+        t = self._table(tmp_path, spark)
+        # 9 disjoint-key cow merges with the fast path: generations pile up
+        # per bucket until the ≥8 bound routes a bucket back through the
+        # fold, collapsing it to one generation again
+        for j in range(9):
+            merge_batch(
+                spark, t,
+                self._batch(
+                    spark, [(f"k{j}_{i}", "I") for i in range(12)],
+                    base=j * 100,
+                ),
+                f"b{j}", mode="cow", bloom_fast_path=True,
+            )
+        m = t.manifest()
+        gens = {b: len(m.files[b]) for b in set(m.files)}
+        assert all(n <= 8 for n in gens.values()), gens
+        assert t.read(spark).count() == 9 * 12
+
+    def test_equivalence_with_plain_cow(self, tmp_path, spark):
+        from embulk_input_marketo_spark.functions.compare import (
+            assert_same_state,
+        )
+        from embulk_input_marketo_spark.lake.merge import merge_batch
+
+        batches = [
+            [(f"a{i}", "I") for i in range(15)],
+            [(f"b{i}", "I") for i in range(15)] + [("a3", "U")],
+            [("a3", "D"), ("b2", "U")] + [(f"c{i}", "I") for i in range(5)],
+        ]
+        t_fast = self._table(tmp_path, spark, "fast")
+        t_plain = self._table(tmp_path, spark, "plain")
+        for j, rows in enumerate(batches):
+            b = self._batch(spark, rows, base=j * 100)
+            merge_batch(
+                spark, t_fast, b, f"b{j}", mode="cow", bloom_fast_path=True
+            )
+            merge_batch(spark, t_plain, b, f"b{j}", mode="cow")
+        assert_same_state(t_fast.read(spark), t_plain.read(spark))
+
+
+class TestSubmitReplayReport:
+    """r4 VERDICT item 10: the spark-submit entrypoint surfaces the
+    operational reports (maintenance_plan + bloom_health) behind --report."""
+
+    def test_report_flag_appends_health_sections(self, spark, tmp_path):
+        import submit_replay
+        from embulk_input_marketo_spark import generator
+
+        log_dir = str(tmp_path / "log")
+        generator.changelog(spark, 1_000, 100, seed=9).write.parquet(log_dir)
+        table_dir = str(tmp_path / "t")
+        out = submit_replay.main([
+            "--changelog", log_dir, "--table", table_dir,
+            "--create", "--slices", "2", "--report",
+        ])
+        assert out["events_applied"] == 1_000
+        assert "compact_buckets" in out["maintenance"]
+        assert out["maintenance"]["version"] >= 1
+        # table created without bloom_bits: health must say so, not crash
+        assert out["bloom_health"] == {"enabled": False}
+        # without the flag the sections stay out of the record
+        out2 = submit_replay.main(
+            ["--changelog", log_dir, "--table", table_dir]
+        )
+        assert "maintenance" not in out2 and "bloom_health" not in out2
+
+
 class TestChunkWhitespaceNormalization:
     """ADVICE low (textops.py): trim() strips only spaces, so tab/newline
     padding produced empty-string tokens (counted in n_tokens) and a

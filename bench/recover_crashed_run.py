@@ -6,12 +6,17 @@ SPARK_GRAFT_SCALE_REPEATS=5, SPARK_GRAFT_SCALE_REPLICAS=1) lost its
 orchestrator after repeat 2: repeats 0-2 finished BOTH legs and wrote their
 worker result files into the shared input dir; repeat 3 died at the replica
 start-barrier. This script assembles those worker-written files — verbatim,
-no re-derivation — into the same summary schema `bench/scaling.py` emits,
-archives it under BENCH/runs with a RECOVERED stamp, and rewrites
-BENCH/BASELINE.md via the harness's own _write_md. Per-repeat host-probe
-records for this run were appended live to BENCH/probe_calibration.json
-(ts 20260820-032319 .. 20260820-045339) but the probe→repeat mapping died
-with the orchestrator, so pairs carry host_probe=None plus a pointer.
+no re-derivation — into the same summary schema `bench/scaling.py` emits
+and archives it under BENCH/runs stamped PARTIAL-UNGATED with
+``pass: null`` and ``excluded_from_evidence: true`` (r4 ADVICE): a
+recovery has fewer repeats than planned and NO per-pair host-window
+probes, so — like the PARTIAL-throttled rows — it documents host
+conditions but may not mint or support a pass claim, and it does NOT
+rewrite BENCH/BASELINE.md (only a complete gated run updates the
+headline). Per-repeat host-probe records for the 20260820 run were
+appended live to BENCH/probe_calibration.json (ts 20260820-032319 ..
+20260820-045339) but the probe→repeat mapping died with the orchestrator,
+so pairs carry host_probe=None plus a pointer.
 """
 import glob
 import json
@@ -88,9 +93,14 @@ summary = {
     "scaling_efficiency": eff,
     "scaling_efficiency_best_pair": max(effs),
     "pass_bar": 0.8,
-    "pass": eff >= 0.8,
+    # a partial, probe-less recovery may not claim a verdict (r4 ADVICE):
+    # 3/5 repeats, host_probe=None everywhere, and local[2] legs varying
+    # 68k-109k ev/s are exactly the unstable-window pattern the gate exists
+    # to catch — archive as host-conditions evidence only
+    "pass": None,
+    "excluded_from_evidence": True,
     "equivalence_pass": small["equivalence_pass"] and big["equivalence_pass"],
-    "stamp": "20260820-045400-RECOVERED",
+    "stamp": "20260820-045400-PARTIAL-UNGATED",
     "note": (
         "Assembled post-hoc from the worker-written per-repeat result files "
         "of the 20260820 03:23-04:54 replica-saturated marathon (5 repeats "
@@ -99,7 +109,8 @@ summary = {
         "worker including all 4 replicas per N-leg; their numbers are copied "
         "verbatim from the files the pinned workers wrote. Host-probe "
         "samples for the window are in BENCH/probe_calibration.json "
-        "(ts 20260820-032319..045339)."
+        "(ts 20260820-032319..045339). Excluded from pass evidence: "
+        "incomplete repeat set and no per-pair window gate."
     ),
 }
 out = os.path.join(
@@ -107,7 +118,9 @@ out = os.path.join(
 )
 with open(out, "w") as f:
     json.dump(summary, f, indent=1)
-scaling._write_md(summary)
+# NO _write_md: a partial ungated recovery must never replace the headline
+# (only complete gated runs rewrite BENCH/BASELINE.md); the archive row is
+# the whole record
 print(json.dumps({k: summary[k] for k in (
     "scaling_efficiency", "scaling_efficiency_best_pair", "pass",
     "equivalence_pass", "stamp")}))

@@ -706,6 +706,10 @@ def _run_pairs(work: str, log_dir: str, owns_work: bool) -> None:
     os.makedirs(os.path.join(REPO, "BENCH", "runs"), exist_ok=True)
     stamp = time.strftime("%Y%m%d-%H%M%S")
     summary["stamp"] = stamp
+    # compute the two-protocol bracket BEFORE archiving so the JSON carries
+    # the same finding the headline states (single-protocol `pass` stays
+    # protocol-qualified; the bracket is the verdict — r4 ADVICE)
+    _bracket_text(summary)
     with open(os.path.join(REPO, "BENCH", "runs", f"scaling-{stamp}.json"), "w") as f:
         json.dump(summary, f, indent=1)
     # evidence is two-directional: the LATEST run always rewrites the
@@ -782,13 +786,119 @@ def _archive_rows() -> str:
         )
         ev = d.get("events")
         ev_s = f"{ev:,}" if isinstance(ev, int) else "?"
+        if d.get("excluded_from_evidence"):
+            # partial/ungated salvage: a host-conditions record, never a
+            # verdict (r4 ADVICE) — labeled like the PARTIAL-throttled rows
+            result = "PARTIAL-UNGATED (excluded from evidence)"
+        elif d.get("pass") is None:
+            result = "n/a"
+        else:
+            result = "PASS" if d["pass"] else "FAIL"
         rows.append(
             f"| {os.path.basename(p)} | {'→'.join(cfgs)} "
             f"| {d.get('protocol', 'back-to-back adjacent')} | {ev_s} "
             f"| {eff} | {d.get('scaling_efficiency_best_pair', '—')} "
-            f"| {'PASS' if d.get('pass') else 'FAIL'} |"
+            f"| {result} |"
         )
     return "\n".join(rows)
+
+
+def _bracket_partner(protocol: str, events: int) -> dict | None:
+    """The other side of the scaling bracket: the most recent COMPLETE,
+    evidence-eligible run of the OTHER protocol at the same event count.
+
+    Neither protocol measures the engine's true scaling alone on this host
+    (r4 ADVICE): back-to-back pairs are biased LOW (the hypervisor
+    turbo-boosts the narrow leg), replica-saturated pairs are biased HIGH
+    (each isolated N replica pays the full per-JVM serial cost, pairs >1.0
+    occur). The truth lies between, so the headline reports the BRACKET of
+    the two latest runs rather than a single-protocol verdict."""
+    import glob
+
+    other = (
+        "back-to-back adjacent"
+        if protocol == "replica-saturated"
+        else "replica-saturated"
+    )
+    best = None
+    for p in sorted(
+        glob.glob(os.path.join(REPO, "BENCH", "runs", "scaling-*.json"))
+    ):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if (
+            d.get("protocol", "back-to-back adjacent") != other
+            or d.get("events") != events
+            or d.get("excluded_from_evidence")
+            or d.get("pass") is None
+            # PARTIAL stamps (throttled windows, aborted marathons) record
+            # host conditions, not engine scaling — never a bracket side
+            or "PARTIAL" in str(d.get("stamp", ""))
+        ):
+            continue
+        best = d  # sorted by stamp → last eligible wins
+    if best is None:
+        return None
+    return {
+        "stamp": best.get("stamp"),
+        "protocol": other,
+        "median": best.get("scaling_efficiency"),
+        "best_pair": best.get("scaling_efficiency_best_pair"),
+    }
+
+
+def _bracket_text(s: dict) -> str:
+    """Headline bracket statement for _write_md; also stores the bracket in
+    the summary dict (the archived JSON carries the same finding)."""
+    proto = s.get("protocol", "back-to-back adjacent")
+    eff = s["scaling_efficiency"]
+    if proto == "replica-saturated":
+        own_bias = (
+            f"an UPPER bound on engine scaling — this protocol's N-leg is "
+            f"biased low (each isolated replica pays the full per-JVM "
+            f"serial cost; pairs above 1.0 occur and are physically "
+            f"impossible as engine scaling)"
+        )
+    else:
+        own_bias = (
+            "a LOWER bound on this host — the single box turbo-boosts the "
+            "narrow leg's clock and cannot add memory channels with cores"
+        )
+    partner = _bracket_partner(proto, s.get("events"))
+    if partner is None or partner.get("median") is None:
+        s["bracket"] = None
+        return (
+            f"median pair **{eff}**, {own_bias}. No complete run of the "
+            f"complementary protocol at this event count is archived yet, "
+            f"so no bracket can be stated — this number alone is NOT a "
+            f"verdict against the ≥0.8 bar."
+        )
+    lo, hi = sorted([eff, partner["median"]])
+    if lo >= 0.8:
+        verdict = "both ends clear the ≥0.8 bar"
+    elif hi >= 0.8:
+        verdict = (
+            "the ≥0.8 bar falls INSIDE the bracket — met at the upper "
+            "bound, not at the lower"
+        )
+    else:
+        verdict = "both ends fall below the ≥0.8 bar"
+    s["bracket"] = {
+        "low": lo, "high": hi, "partner": partner, "verdict": verdict,
+    }
+    return (
+        f"median pair **{eff}**, {own_bias}. Bracketed with the most "
+        f"recent complete {partner['protocol']} run "
+        f"({partner['stamp']}, median {partner['median']}), the engine's "
+        f"true 2→8-core scaling on this host lies in "
+        f"**[{lo}, {hi}]**. Against the rule's ≥0.8 criterion the finding "
+        f"is this bracket — {verdict} — not an unqualified "
+        f"single-protocol PASS; the protocol notes below explain each "
+        f"side's bias and the archive holds every run."
+    )
 
 
 def _write_md(s: dict) -> None:
@@ -838,13 +948,17 @@ the ratio reads high — the back-to-back archive (quiet-window pairs
 turbo-clock bias depresses the ratio instead. The engine's true 2→8-core
 scaling lies between the two protocols' numbers, and both are archived.
 """
+    bracket = _bracket_text(s)
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
-**Latest run ({s.get('stamp', 'unknown')}): {'PASS' if s['pass'] else 'FAIL'}**
-— this file always reflects the most recent `bench/scaling.py` run of the
-SHIPPED engine configuration (merge-on-read), pass or fail; earlier runs are
-archived verbatim in `BENCH/runs/`. Reruns in noisy host windows are
-expected to vary (see caveats below) — judge the archive, not one sample.
+**Latest run ({s.get('stamp', 'unknown')}, {s.get('protocol')}):**
+{bracket}
+
+This file always reflects the most recent complete `bench/scaling.py` run of
+the SHIPPED engine configuration (merge-on-read), whatever its outcome;
+earlier runs are archived verbatim in `BENCH/runs/`. Reruns in noisy host
+windows are expected to vary (see caveats below) — judge the archive, not
+one sample.
 
 Protocol per BASELINE.md §3: identical deterministic changelog (seed={s['seed']},
 {s['events']:,} events over {s['urls']:,} urls, zipf-skewed with hot keys,
@@ -942,8 +1056,11 @@ Per-pair results (adjacent runs, efficiency = (ev/s_4N / ev/s_N) / 4):
 {_pairs_rows(s)}
 
 **Scaling efficiency (median adjacent pair)**
-= **{s['scaling_efficiency']}** (pass bar ≥ 0.8 → {'PASS' if s['pass'] else 'FAIL'};
-best pair {s.get('scaling_efficiency_best_pair', s['scaling_efficiency'])})
+= **{s['scaling_efficiency']}** under the {s.get('protocol')} protocol
+(best pair {s.get('scaling_efficiency_best_pair', s['scaling_efficiency'])}).
+`pass` in the archived JSON means "median ≥ 0.8 under THIS protocol" —
+protocol-qualified by construction; the verdict the headline states is the
+two-protocol bracket, because each protocol alone is biased (see above).
 
 ## Run archive (every completed protocol run, pass or fail)
 

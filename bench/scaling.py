@@ -373,7 +373,15 @@ def worker(
         # serial fraction the two-parallelism criterion exists to catch.
         # Never two cluster jobs at once ("commit" depth), so no
         # memory-bandwidth contention is added on this single box.
-        pipeline=True,
+        # SPARK_GRAFT_SCALE_PIPELINE=full measures the kept-for-clusters
+        # "full" overlap (scan of slice k+1 under merge of slice k — two
+        # concurrent jobs) so its cost on a bandwidth-capped box is a
+        # recorded number, not an untested claim (r4 VERDICT item 7).
+        pipeline=(
+            "full"
+            if os.environ.get("SPARK_GRAFT_SCALE_PIPELINE") == "full"
+            else True
+        ),
     )
     sec = time.perf_counter() - t0
     cpu = _cpu_fracs(cpu_a, _cpu_snap(pinned))
@@ -414,6 +422,7 @@ def worker(
         "equivalence_pass": bool(na == ne and ha == he),
         "state_rows": na,
         "cpu_during_timed_window": cpu,
+        "pipeline": os.environ.get("SPARK_GRAFT_SCALE_PIPELINE", "commit"),
     }
     with open(out_file, "w") as f:
         json.dump(result, f)
@@ -702,6 +711,7 @@ def _run_pairs(work: str, log_dir: str, owns_work: bool) -> None:
         "pass_bar": 0.8,
         "pass": eff >= 0.8,
         "equivalence_pass": small["equivalence_pass"] and big["equivalence_pass"],
+        "pipeline": os.environ.get("SPARK_GRAFT_SCALE_PIPELINE", "commit"),
     }
     os.makedirs(os.path.join(REPO, "BENCH", "runs"), exist_ok=True)
     stamp = time.strftime("%Y%m%d-%H%M%S")

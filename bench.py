@@ -80,6 +80,7 @@ HEADLINE = [
     "time_window_scan",
     "zorder_layout",
     "semantic_dedup",
+    "image_resize_real",
 ]
 
 

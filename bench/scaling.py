@@ -804,9 +804,14 @@ def _archive_rows() -> str:
             result = "n/a"
         else:
             result = "PASS" if d["pass"] else "FAIL"
+        proto = d.get("protocol", "back-to-back adjacent")
+        if d.get("pipeline", "commit") == "full":
+            # diagnostic of the kept-for-clusters full overlap mode, not
+            # the shipped config — labeled and excluded from bracketing
+            proto += " (pipeline=full diagnostic)"
         rows.append(
             f"| {os.path.basename(p)} | {'→'.join(cfgs)} "
-            f"| {d.get('protocol', 'back-to-back adjacent')} | {ev_s} "
+            f"| {proto} | {ev_s} "
             f"| {eff} | {d.get('scaling_efficiency_best_pair', '—')} "
             f"| {result} |"
         )
@@ -847,6 +852,8 @@ def _bracket_partner(protocol: str, events: int) -> dict | None:
             # PARTIAL stamps (throttled windows, aborted marathons) record
             # host conditions, not engine scaling — never a bracket side
             or "PARTIAL" in str(d.get("stamp", ""))
+            # pipeline=full diagnostics measure a non-shipped overlap mode
+            or d.get("pipeline", "commit") == "full"
         ):
             continue
         best = d  # sorted by stamp → last eligible wins

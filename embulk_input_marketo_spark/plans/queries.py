@@ -3519,11 +3519,12 @@ def _sql_retention_delete() -> str:
 # ---------------------------------------------------------------------------
 
 # Registry order is the driver's verification order: the driver gates the
-# FIRST 50 entries. Round 5 rotation (VERDICT r4 item 1): the 25 queries
-# appended after position 50 mid-round-3 — which therefore never received a
-# driver CORRECTNESS row — now lead, followed by 25 round-4-green veterans
-# (flagship cdc_final_state first). Together with CORRECTNESS_r04's 50 green
-# rows this completes independent driver verification of all 75 queries.
+# FIRST 50 entries. Round-5 order: the 25 queries that never received a
+# driver CORRECTNESS row (appended after position 50 mid-round-3) lead,
+# then the two round-5 additions (semantic_cell_stats, image_resize_real),
+# then the round-4-green veterans (flagship cdc_final_state first). With
+# CORRECTNESS_r04's 50 green rows, a green r5 gate driver-attests every
+# one of the 77 queries across the two rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_k_per_stratum": q_sample_k_per_stratum,
     "assign_split": q_assign_split,
@@ -3550,6 +3551,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_window_scan": q_time_window_scan,
     "zorder_layout": q_zorder_layout,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_cell_stats": q_semantic_cell_stats,
+    "image_resize_real": q_image_resize_real,
     "cdc_final_state": q_cdc_final_state,
     "key_exists_probe": q_key_exists_probe,
     "patch_upsert_fold": q_patch_upsert_fold,
@@ -3600,8 +3603,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_repeated_lines": q_remove_repeated_lines,
     "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
-    "semantic_cell_stats": q_semantic_cell_stats,
-    "image_resize_real": q_image_resize_real,
 }
 
 ORACLES: dict[str, str] = {

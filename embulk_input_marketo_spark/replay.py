@@ -60,6 +60,7 @@ def replay(
     on_batch: Callable[[MergeResult], Any] | None = None,
     prefetch: bool = False,
     pipeline: bool | str = False,
+    bloom_fast_path: bool = False,
 ) -> ReplayReport:
     """Replay the changelog into the table from the committed checkpoint.
 
@@ -97,6 +98,11 @@ def replay(
       Crash/idempotence semantics are unchanged — an uncommitted staged dir
       is invisible (expiry's in-flight guard skips it) and a rerun
       converges from the committed hwm exactly as before.
+    - ``bloom_fast_path`` (cow mode with key blooms enabled): probe each
+      slice's keys against the per-bucket blooms before the fold — buckets
+      whose keys are all provably absent append instead of read+rewrite
+      (``lake/merge.merge_batch``). The insert-heavy crawl-frontier knob;
+      a no-op for mor (mor never reads base data on merge).
     """
     import threading
     import time as _time
@@ -184,6 +190,7 @@ def replay(
             window=(lo, hi),
             lineage={"lsn_lo": lo, "lsn_hi": hi, "source": "changelog"},
             derive=derive,
+            bloom_fast_path=bloom_fast_path,
         )
         report.batches.append(result)
         if (lo, hi) in prefetched:

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--key-col", default="url")
     p.add_argument("--lww-major", default="warc_ts")
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--bloom-bits", type=int, default=0,
+                   help="with --create: enable per-bucket key blooms of "
+                        "this many bits (>=10 bits per expected key per "
+                        "bucket); required for --bloom-fast-path to bite")
     p.add_argument("--slices", type=int, default=None,
                    help="split the pending window into K slices")
     p.add_argument("--batch-span", type=int, default=1_000_000,
@@ -45,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt-buckets", type=int, default=None)
     p.add_argument("--extract-text", action="store_true",
                    help="derive text from html via the Arrow pandas UDF")
+    p.add_argument("--bloom-fast-path", action="store_true",
+                   help="cow mode: probe per-bucket key blooms before each "
+                        "fold; buckets with all-new keys append instead of "
+                        "read+rewrite (insert-heavy crawl frontiers)")
     p.add_argument("--report", action="store_true",
                    help="append the operational health report to the output "
                         "JSON: maintenance_plan() (compaction/expiry/staged "
@@ -73,7 +81,7 @@ def main(argv: list[str] | None = None) -> dict:
         )
         table = LakeTable.create(
             a.table, schema, key_col=a.key_col, lww_major=a.lww_major,
-            n_buckets=a.n_buckets,
+            n_buckets=a.n_buckets, bloom_bits=a.bloom_bits,
         )
     else:
         raise SystemExit(
@@ -88,6 +96,7 @@ def main(argv: list[str] | None = None) -> dict:
         mode=a.mode,
         compact_threshold=a.compact_threshold,
         extract_text_from_html=a.extract_text,
+        bloom_fast_path=a.bloom_fast_path,
     )
     out = {
         "table": a.table,

@@ -328,6 +328,66 @@ class TestSubmitReplayReport:
         assert "maintenance" not in out2 and "bloom_health" not in out2
 
 
+class TestSubmitReplayBloomFastPath:
+    """The bloom fast path wired end-to-end: submit_replay --create
+    --bloom-bits ... --mode cow --bloom-fast-path, resumed with a second
+    disjoint-key changelog segment that must skip every base read."""
+
+    def test_end_to_end_cow_bloom_replay(self, spark, tmp_path):
+        import submit_replay
+        from embulk_input_marketo_spark import generator
+        from embulk_input_marketo_spark.lake.table import LakeTable
+
+        log1 = str(tmp_path / "log1")
+        generator.changelog(spark, 1_000, 100, seed=3).write.parquet(log1)
+        table_dir = str(tmp_path / "t")
+        out = submit_replay.main([
+            "--changelog", log1, "--table", table_dir, "--create",
+            "--bloom-bits", str(1 << 14), "--n-buckets", "4",
+            "--slices", "1", "--mode", "cow", "--bloom-fast-path",
+            "--report",
+        ])
+        assert out["events_applied"] == 1_000
+        assert out["bloom_health"]["enabled"] is True
+        # second segment: same generator, keys shifted out of range by a
+        # url prefix via lsn continuation — build disjoint keys directly
+        t = LakeTable(table_dir)
+        before = t.read(spark).count()
+        import datetime
+
+        rows = [
+            (f"brand-new-{i}",
+             datetime.datetime(2026, 2, 1) + datetime.timedelta(seconds=i),
+             float(i), "{}", "I", 1_000 + i)  # contiguous lsns after log1
+            for i in range(50)
+        ]
+        log2 = str(tmp_path / "log2")
+        spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, value double, props string,"
+            " op string, lsn long",
+        ).write.parquet(log2)
+        calls = []
+        orig = LakeTable.read
+
+        def spy(self, *a_, **kw):
+            if kw.get("include_internal"):
+                calls.append(kw.get("buckets"))
+            return orig(self, *a_, **kw)
+
+        LakeTable.read = spy
+        try:
+            out2 = submit_replay.main([
+                "--changelog", log2, "--table", table_dir,
+                "--slices", "1", "--mode", "cow", "--bloom-fast-path",
+            ])
+        finally:
+            LakeTable.read = orig
+        assert out2["events_applied"] == 50
+        assert calls == [], "all-new-keys segment must read zero base data"
+        assert t.read(spark).count() == before + 50
+
+
 class TestChunkWhitespaceNormalization:
     """ADVICE low (textops.py): trim() strips only spaces, so tab/newline
     padding produced empty-string tokens (counted in n_tokens) and a

@@ -184,6 +184,63 @@ def resize_images(
     return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+    ]
+)
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio decode over mapInPandas: WAV/PCM payloads (8/16-bit, any
+    channel count — :mod:`functions.audiocodec`, pure stdlib+numpy) →
+    integer-exact per-doc stats (frames, rate, channels, duration, peak,
+    sum|sample|). Integers only, so the SQL oracle
+    (``plans/queries.q_audio_stats_real``) reproduces every value exactly.
+    Compressed formats (MP3/OGG/FLAC, non-PCM WAV) raise at the dispatch
+    seam — the only part that needs an external codec. NULL payloads pass
+    through as NULL stats (one row per input either way)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from embulk_input_marketo_spark.functions import audiocodec
+
+        for pdf in batches:
+            def stats(b):
+                if b is None:
+                    return (None,) * 6
+                samples, rate = audiocodec.decode_audio(bytes(b))
+                s = audiocodec.pcm_stats(samples, rate)
+                return (
+                    s["n_frames"], s["sample_rate"], s["n_channels"],
+                    s["duration_ms"], s["peak"], s["sum_abs"],
+                )
+
+            decoded = pdf[payload_col].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_frames": decoded.map(lambda t: t[0]),
+                    "sample_rate": decoded.map(lambda t: t[1]),
+                    "n_channels": decoded.map(lambda t: t[2]),
+                    "duration_ms": decoded.map(lambda t: t[3]),
+                    "peak": decoded.map(lambda t: t[4]),
+                    "sum_abs": decoded.map(lambda t: t[5]),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_STATS_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1702,6 +1702,88 @@ def _sql_image_resize_real() -> str:
     """
 
 
+def _le_hex(v, nbytes: int):
+    """Little-endian hex of an integer column over ``nbytes`` bytes — the
+    RIFF/WAVE header field encoder, as JVM expressions."""
+    return F.concat(
+        *[
+            F.format_string("%02x", (v / (256 ** i)).cast("long") % 256)
+            for i in range(nbytes)
+        ]
+    )
+
+
+def q_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no fake): each doc becomes an actual mono 16-bit
+    PCM WAV — rate 16 kHz, n = 64+doc_id%32 frames, signed sample i =
+    ((doc_id*7 + i*13) % 65536) - 32768 — assembled byte-exactly with JVM
+    expressions (RIFF/fmt/data chunks, little-endian fields, two's-
+    complement sample encoding), then PARSED by the mapInPandas kernel
+    (:mod:`functions.audiocodec`) into integer-exact stats. The oracle
+    recomputes every stat analytically from the same sample formula, so
+    the chunk walker, the PCM decode and the stats fold are all
+    value-checked. The audio sibling of ``image_resize_real``."""
+    from embulk_input_marketo_spark.functions.multimodal import (
+        decode_audio_stats,
+    )
+
+    d = F.col("doc_id")
+    n = (d % 32 + 64).cast("long")
+    # static header pieces (hex): RIFF..WAVE, fmt chunk for PCM mono 16k/16
+    fmt_hex = F.lit(
+        "666d7420"            # "fmt "
+        "10000000"            # chunk len 16
+        "0100" "0100"         # PCM, 1 channel
+        "803e0000"            # rate 16000
+        "007d0000"            # byte rate 32000
+        "0200" "1000"         # block align 2, bits 16
+    )
+    # stored u16 = two's complement of signed sample s = u - 32768 where
+    # u = (doc_id*7 + i*13) % 65536, i.e. stored = (u + 32768) % 65536;
+    # bytes little-endian (low, high)
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda i: F.format_string(
+                "%02x%02x",
+                ((d * 7 + i * 13) % 65536 + 32768) % 65536 % 256,
+                (((d * 7 + i * 13) % 65536 + 32768) % 65536 / 256).cast(
+                    "long"
+                ),
+            ),
+        ),
+        "",
+    )
+    payload_hex = F.concat(
+        F.lit("52494646"), _le_hex(n * 2 + 36, 4), F.lit("57415645"),
+        fmt_hex,
+        F.lit("64617461"), _le_hex(n * 2, 4),
+        samples_hex,
+    )
+    fixture = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(payload_hex).alias("payload")
+    )
+    return decode_audio_stats(fixture, "payload")
+
+
+def _sql_audio_stats_real() -> str:
+    return """
+    WITH d AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+    s AS (
+      SELECT d.doc_id, d.n,
+             ABS(((d.doc_id*7 + i.i*13) % 65536) - 32768) AS a
+      FROM d, range(0, 96) i(i) WHERE i.i < d.n
+    )
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(MAX(n)*1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(MAX(a) AS BIGINT) AS peak,
+           CAST(SUM(a) AS BIGINT) AS sum_abs
+    FROM s GROUP BY doc_id
+    """
+
+
 def q_invalid_record_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invalid-record row filter with side output (P8): events whose props
     fail to parse are rejected; the query returns per-type counts of valid
@@ -3553,6 +3635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_cell_stats": q_semantic_cell_stats,
     "image_resize_real": q_image_resize_real,
+    "audio_stats_real": q_audio_stats_real,
     "cdc_final_state": q_cdc_final_state,
     "key_exists_probe": q_key_exists_probe,
     "patch_upsert_fold": q_patch_upsert_fold,
@@ -3691,4 +3774,5 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _sql_semantic_dedup(),
     "semantic_cell_stats": _sql_semantic_cell_stats(),
     "image_resize_real": _sql_image_resize_real(),
+    "audio_stats_real": _sql_audio_stats_real(),
 }

@@ -222,3 +222,87 @@ class TestRealKernels:
             decode_and_featurize_images(
                 df, "payload", deterministic_fake=False
             ).collect()
+
+
+# ---------------------------------------------------------------------------
+# audio sibling (functions/audiocodec.py)
+# ---------------------------------------------------------------------------
+
+from embulk_input_marketo_spark.functions import audiocodec as ac  # noqa: E402
+
+
+class TestWav:
+    def test_roundtrip_mono16(self):
+        s = rng.randint(-32768, 32768, (500, 1)).astype(np.int32)
+        got, rate = ac.decode_wav(ac.encode_wav(s, 8000))
+        assert rate == 8000 and (got == s).all()
+
+    def test_roundtrip_stereo16_and_8bit(self):
+        st = rng.randint(-32768, 32768, (100, 2)).astype(np.int32)
+        got, rate = ac.decode_wav(ac.encode_wav(st, 44100))
+        assert rate == 44100 and got.shape == (100, 2) and (got == st).all()
+        s8 = rng.randint(-128, 128, (64, 1)).astype(np.int32)
+        got8, _ = ac.decode_wav(ac.encode_wav(s8, 8000, bits=8))
+        assert (got8 == s8).all()
+
+    def test_agrees_with_stdlib_wave_writer(self):
+        import io
+        import wave
+
+        s = rng.randint(-32768, 32768, 300).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(s.tobytes())
+        got, rate = ac.decode_wav(buf.getvalue())
+        assert rate == 16000 and (got[:, 0] == s.astype(np.int32)).all()
+
+    def test_extra_chunks_skipped(self):
+        s = np.arange(-5, 5).reshape(-1, 1).astype(np.int32)
+        wav = bytearray(ac.encode_wav(s, 8000))
+        # splice a LIST chunk between fmt and data
+        insert_at = 12 + 8 + 16  # after fmt chunk
+        extra = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"
+        wav[insert_at:insert_at] = extra
+        wav[4:8] = (len(wav) - 8).to_bytes(4, "little")
+        got, rate = ac.decode_wav(bytes(wav))
+        assert (got == s).all()
+
+    def test_seams(self):
+        with pytest.raises(NotImplementedError):
+            ac.decode_audio(b"OggS....")
+        with pytest.raises(NotImplementedError):
+            ac.decode_audio(b"ID3\x04....")
+        with pytest.raises(ValueError):
+            ac.decode_audio(b"random noise bytes")
+        # non-PCM WAV (IEEE float, format 3): recognized, not supported
+        s = np.zeros((4, 1), dtype=np.int32)
+        wav = bytearray(ac.encode_wav(s, 8000))
+        wav[20] = 3  # audio_format byte
+        with pytest.raises(NotImplementedError):
+            ac.decode_audio(bytes(wav))
+
+    def test_pcm_stats_integer_exact(self):
+        s = np.array([[-32768], [100], [-3], [0]], dtype=np.int32)
+        st = ac.pcm_stats(s, 16000)
+        assert st == {
+            "n_frames": 4, "sample_rate": 16000, "n_channels": 1,
+            "duration_ms": 0, "peak": 32768, "sum_abs": 32871,
+        }
+
+    def test_kernel_null_passthrough(self, spark):
+        from embulk_input_marketo_spark.functions.multimodal import (
+            decode_audio_stats,
+        )
+
+        s = rng.randint(-1000, 1000, (32, 1)).astype(np.int32)
+        df = spark.createDataFrame(
+            [(1, ac.encode_wav(s, 16000)), (2, None)],
+            "doc_id: long, payload: binary",
+        )
+        out = {r.doc_id: r for r in decode_audio_stats(df, "payload").collect()}
+        assert out[1].n_frames == 32 and out[1].sample_rate == 16000
+        assert out[1].sum_abs == int(np.abs(s).sum())
+        assert out[2].n_frames is None and out[2].sum_abs is None

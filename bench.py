@@ -81,6 +81,7 @@ HEADLINE = [
     "zorder_layout",
     "semantic_dedup",
     "image_resize_real",
+    "audio_stats_real",
 ]
 
 

@@ -14,6 +14,7 @@ are reproducible without numpy state on executors.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -217,16 +218,48 @@ def assign_cells(
     out_col: str = "_cell",
     round_scores: int | None = None,
 ) -> DataFrame:
-    """Stamp each row with its highest-cosine centroid cell. No shuffle: the
-    centroid table broadcasts as one packed row and the argmax is a per-row
-    array expression. This is both the query-time assigner and the
+    """Stamp each row with its highest-cosine centroid cell. No shuffle:
+    centroids ride to every task as plain Python data inside the
+    ``mapInPandas`` closure (the collected table is tiny by design — it is
+    the same data the packed-broadcast row used to carry) and the argmax is
+    a per-batch numpy pass. This is both the query-time assigner and the
     maintenance-job primitive that lays a table out by cell.
 
     ``round_scores``: round each cosine to this many decimals BEFORE the
     argmax (ties then break toward the LARGER cell id — struct max is
     lexicographic). Used when an external system must reproduce the exact
     assignment (see :func:`semantic_dedup`): rounded scores make the argmax
-    robust to last-ulp float-summation differences across engines."""
+    robust to last-ulp float-summation differences across engines.
+
+    r6 backend note: the original packed-broadcast + ``transform``/
+    ``aggregate`` argmax is interpreted expression eval — measured ~10 s
+    for 20k rows × 32 cells × 64 dims at the sf1.0 bench (guide §4.1).
+    The numpy path (guide §4.2) computes the same scores with the fold's
+    exact summation order and Spark's exact HALF_UP rounding
+    (:mod:`functions.vecnp` — bit-identical, pinned by tests and the
+    DuckDB oracle gate) in a fraction of the time. The JVM expression
+    path remains for inputs it alone handles (non-double vectors) and as
+    the A/B reference."""
+    elem = None
+    try:
+        vt = df.schema[vec_col].dataType
+        elem = getattr(vt, "elementType", None)
+    except Exception:
+        pass
+    from pyspark.sql import types as T
+
+    if isinstance(elem, T.DoubleType):
+        crows = centroids.select("cell_id", "centroid").collect()
+        cid_type = centroids.schema["cell_id"].dataType
+        ok = all(
+            r["cell_id"] is not None and r["centroid"] is not None
+            and all(e is not None for e in r["centroid"])
+            for r in crows
+        ) and len({len(r["centroid"]) for r in crows}) <= 1
+        if ok:
+            return _assign_cells_np(
+                df, crows, vec_col, out_col, round_scores, cid_type
+            )
     scores = _cell_scores(F.col(vec_col))
     if round_scores is not None:
         scores = F.transform(
@@ -240,6 +273,108 @@ def assign_cells(
         .withColumn(out_col, F.array_max(scores)["i"])
         .drop("_cents")
     )
+
+
+def _assign_cells_np(
+    df: DataFrame,
+    crows: list,
+    vec_col: str,
+    out_col: str,
+    round_scores: int | None,
+    cid_type,
+) -> DataFrame:
+    """numpy backend of :func:`assign_cells` — bit-identical to the JVM
+    expression argmax (see vecnp module docstring for why naive numpy is
+    NOT, and how this path is). Semantics replicated exactly:
+
+    - score s_c = fold-dot(v, c) / (fold-norm(v) * fold-norm(c)), rounded
+      HALF_UP at ``round_scores`` decimals (Spark's string-decimal round);
+    - winner = lexicographic max over (s, cell_id): highest score, ties to
+      the larger cell id; NaN scores sort ABOVE everything (Spark double
+      ordering), null scores BELOW (struct field null-first);
+    - a null / ragged / null-element vector nulls every score (zip_with
+      padding), so the winner is (null, max cell_id) → max cell id;
+    - an empty centroid table yields a null cell (array_max of []).
+    """
+    import pandas as pd
+
+    from embulk_input_marketo_spark.functions import vecnp
+
+    from pyspark.sql import types as T
+
+    out_fields = df.schema.fields + [T.StructField(out_col, cid_type, True)]
+    out_schema = T.StructType(out_fields)
+    cols = [f.name for f in df.schema.fields]
+
+    # sort by cell_id so "ties -> larger cell id" is the highest column,
+    # matching sort_array(collect_list(struct(cell_id, centroid)))'s order
+    crows = sorted(crows, key=lambda r: r["cell_id"])
+    cell_ids = [r["cell_id"] for r in crows]
+    C = (
+        np.array([list(r["centroid"]) for r in crows], dtype=np.float64)
+        if crows else np.zeros((0, 0))
+    )
+    m = len(cell_ids)
+    cnorm = vecnp.seq_sq_norms(C) if m else np.zeros(0)
+    dim = C.shape[1] if m else 0
+    max_cell = max(cell_ids) if m else None
+
+    def _row_fallback(v):
+        # exact engine semantics for degenerate vectors (see docstring)
+        if m == 0:
+            return None
+        if v is None or len(v) != dim or any(e is None for e in v):
+            return max_cell
+        return None  # caller handles the clean case vectorized
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or m == 0:
+                yield pdf.assign(**{out_col: pd.Series([None] * n, dtype=object)})
+                continue
+            vecs = pdf[vec_col]
+            clean = np.array([
+                v is not None and len(v) == dim
+                and not any(e is None for e in v)
+                for v in vecs
+            ])
+            out = np.empty(n, dtype=object)
+            for i in np.nonzero(~clean)[0]:
+                out[i] = _row_fallback(vecs.iloc[i])
+            if clean.any():
+                idx = np.nonzero(clean)[0]
+                M = np.stack([
+                    np.asarray(vecs.iloc[i], dtype=np.float64) for i in idx
+                ])
+                nv = vecnp.seq_sq_norms(M)
+                S = vecnp.seq_matmul(M, C)
+                denom = nv[:, None] * cnorm[None, :]
+                with np.errstate(all="ignore"):
+                    cos = S / denom
+                if round_scores is not None:
+                    cos = vecnp.round_half_up_array(cos, round_scores)
+                # argmax, ties -> larger cell id: reversed argmax over the
+                # reversed columns; NaN must rank ABOVE +inf like Spark's
+                # double ordering, so rows with NaN pick the largest
+                # cell id among their NaN columns
+                nan_mask = np.isnan(cos)
+                rev = cos[:, ::-1]
+                # nanmax trick: replace NaN with +inf for comparison; rows
+                # whose winner must be a NaN column are handled first
+                winner = np.empty(len(idx), dtype=np.int64)
+                has_nan = nan_mask.any(axis=1)
+                if has_nan.any():
+                    for r in np.nonzero(has_nan)[0]:
+                        winner[r] = np.nonzero(nan_mask[r])[0].max()
+                if (~has_nan).any():
+                    r2 = np.nonzero(~has_nan)[0]
+                    winner[r2] = (m - 1) - np.argmax(rev[r2], axis=1)
+                for k, i in enumerate(idx):
+                    out[i] = cell_ids[int(winner[k])]
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(fn, out_schema)
 
 
 def ivf_topk(
@@ -617,7 +752,18 @@ def semantic_dedup_pairs(
     a giant cell is exact/LSH-dedup territory, which handles it at O(n).
 
     Returns (left_id, right_id, cos_sim) with ``round(cos, 6) >= threshold``
-    and both docs in the same cell."""
+    and both docs in the same cell.
+
+    r6 backend note (guide §4.2): with a double-element vector column and
+    the skew guard on (bounding per-group memory at O(max_cell_size²)),
+    the within-cell pair loop runs as ONE ``applyInPandas`` over the cell
+    groups — a vectorized numpy Gram pass per cell with the JVM fold's
+    exact summation order and Spark's exact HALF_UP rounding
+    (:mod:`functions.vecnp`), replacing the self-join whose interpreted
+    per-pair cosine dominated the sf1.0 bench (~9 s of join-condition
+    expression eval → sub-second). Results are bit-identical (oracle
+    parity + full-corpus hash pinned). The join formulation remains for
+    unguarded or non-double inputs."""
     cells = assign_cells(
         embeddings,
         centroids if centroids is not None else md5_centroids(
@@ -628,15 +774,25 @@ def semantic_dedup_pairs(
     ).select(
         F.col(id_col), F.col(vec_col), "_cell"
     )
+    elem = getattr(embeddings.schema[vec_col].dataType, "elementType", None)
+    from pyspark.sql import types as T
+
+    if (
+        isinstance(elem, T.DoubleType)
+        and max_cell_size is not None
+        and max_cell_size <= 4096  # Gram matrix ≤ 128 MB per task
+    ):
+        return _semantic_pairs_np(
+            cells, threshold, id_col, vec_col, max_cell_size,
+            embeddings.schema[id_col].dataType,
+        )
     # Hoist each row's norm OUT of the pair loop: cosine recomputed per pair
     # would re-run two interpreted O(dim) norm folds on every candidate pair
     # (and CollapseProject would inline any upstream projection into every
     # lambda reference — measured 24-37 s vs ~4 s at bench shape). sqrt of a
     # row's dot(v,v) is the same double whether computed here or per-pair,
     # so the oracle's ROUND(dot/(sqrt·sqrt), 6) stays bit-identical. The
-    # repartition on the cell id is both the materialization barrier that
-    # stops re-inlining AND the single shuffle the pair join reuses on both
-    # sides (ReusedExchange).
+    # repartition on the cell id spreads the pair join across tasks.
     cells = cells.withColumn("_nrm", _norm(F.col(vec_col))).repartition(
         F.col("_cell")
     )
@@ -653,6 +809,18 @@ def semantic_dedup_pairs(
             .where(F.col("_csz") <= max_cell_size)
             .drop("_csz")
         )
+    # MATERIALIZATION BARRIER (r6, guide §2.4/§7.2): the repartition above
+    # was believed to stop Catalyst from re-inlining the assignment
+    # expression, but the r6 plan audit (plans/r06/semantic_dedup_before.txt
+    # lines 354/506/686/838) shows the full `array_max(transform(...))`
+    # argmax COPIED into four downstream join conditions/projections — the
+    # O(n_cells·dim) assignment re-ran per joined row in interpreted join-
+    # condition context, dominating the query (58.6 s of the sf1.0 bench).
+    # localCheckpoint truncates the lineage so the assignment + norm are
+    # computed exactly once and every consumer reads the materialized
+    # (id, vec, _cell, _nrm) rows. Lazy (eager=False): materializes on the
+    # query's own first action, so the operator stays a plain builder.
+    cells = cells.localCheckpoint(eager=False)
     a = cells.select(
         F.col(id_col).alias("left_id"),
         F.col(vec_col).alias("_vl"),
@@ -678,6 +846,103 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
         .select("left_id", "right_id", "cos_sim")
+    )
+
+
+def _semantic_pairs_np(
+    cells: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_cell_size: int,
+    id_type,
+) -> DataFrame:
+    """numpy backend of the within-cell pair stage: one ``applyInPandas``
+    per cell group. Bit-identical to the join formulation:
+
+    - the Gram matrix accumulates in the JVM fold's element order
+      (vecnp.seq_matmul) and divides by the fold norms' product, exactly
+      ``dot / (_nl * _nr)``;
+    - candidates within 1e-6 of the threshold are decided by Spark's
+      exact string-decimal HALF_UP rounding (vecnp.round_half_up), and
+      the emitted cos_sim is that rounded double;
+    - pairs are (smaller id, larger id) with distinct ids — the join's
+      ``left_id < right_id``; oversize cells (> max_cell_size) emit
+      nothing (the skew guard), degenerate rows (null/ragged/null-element
+      vectors ⇒ null cosine in the join path) pair with nobody;
+    - null cells (empty centroid table) emit nothing, matching the
+      equi-join's null-key semantics.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from embulk_input_marketo_spark.functions import vecnp
+
+    out_schema = T.StructType([
+        T.StructField("left_id", id_type, True),
+        T.StructField("right_id", id_type, True),
+        T.StructField("cos_sim", T.DoubleType(), True),
+    ])
+    empty = {"left_id": [], "right_id": [], "cos_sim": []}
+
+    def fn(pdf):
+        n = len(pdf)
+        if n < 2 or n > max_cell_size:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col]
+        vecs = pdf[vec_col]
+        lens = {len(v) for v in vecs if v is not None}
+        clean = np.array([
+            v is not None and not any(e is None for e in v) for v in vecs
+        ])
+        if len(lens) > 1:
+            # ragged: a cross-length pair null-poisons in the join path;
+            # only equal-length clean pairs can match — handle per length
+            frames = []
+            for ln in lens:
+                mask = np.array([
+                    v is not None and len(v) == ln for v in vecs
+                ]) & clean
+                sub = pdf[mask]
+                if len(sub) >= 2:
+                    frames.append(fn(sub))
+            return (
+                pd.concat(frames, ignore_index=True)
+                if frames else pd.DataFrame(empty)
+            )
+        if not clean.all():
+            pdf = pdf[clean].reset_index(drop=True)
+            if len(pdf) < 2:
+                return pd.DataFrame(empty)
+            ids, vecs = pdf[id_col], pdf[vec_col]
+        k = len(pdf)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = vecnp.seq_sq_norms(M)
+        G = vecnp.seq_matmul(M, M)
+        with np.errstate(all="ignore"):
+            cos = G / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(k, k=1)
+        vals = cos[iu, ju]
+        idv = ids.to_numpy()
+        with np.errstate(invalid="ignore"):
+            cand = (vals >= threshold - 1e-6) & (idv[iu] != idv[ju])
+        li, ri, cs = [], [], []
+        for p in np.nonzero(cand)[0]:
+            r = vecnp.round_half_up(float(vals[p]), 6)
+            if r >= threshold:
+                a_, b_ = idv[iu[p]], idv[ju[p]]
+                lo, hi = (a_, b_) if a_ < b_ else (b_, a_)
+                li.append(lo)
+                ri.append(hi)
+                cs.append(r)
+        return pd.DataFrame({"left_id": li, "right_id": ri, "cos_sim": cs})
+
+    return (
+        cells.where(F.col("_cell").isNotNull())
+        .groupBy("_cell")
+        .applyInPandas(fn, out_schema)
     )
 
 

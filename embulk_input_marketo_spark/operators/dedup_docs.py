@@ -725,6 +725,7 @@ def near_dup_components(
     id_out: str = "doc_id",
     comp_out: str = "component_id",
     max_iterations: int = 25,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair set — the stage that
     turns verified PAIRS (minhash_lsh_pairs / simhash_hamming_pairs /
@@ -804,9 +805,58 @@ def near_dup_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     cur = e.localCheckpoint(eager=True)
+    # r6: derive nodes from the CHECKPOINTED edge set — deriving from `e`
+    # re-ran the entire upstream pair pipeline a second time (plan audit:
+    # the node scan repeated the LSH/semantic candidate stages, ~19 s of
+    # the sf1.0 semantic_dedup bench; guide §1.2 "don't compute things
+    # twice"). Contents are identical: the checkpoint is `e` materialized.
+    nodes = (
+        cur.select("u").union(cur.select(F.col("v").alias("u"))).distinct()
+    )
     prev = fingerprint(cur)
+    if 0 < prev[0] <= driver_max_edges:
+        # Scale-adaptive fast path (guide §1.2 "the distributed algorithm"):
+        # the star loop costs ~4 rounds × (2 aggregates + join + distinct +
+        # checkpoint + fingerprint) of fixed per-job overhead — for an edge
+        # set already known (from the fingerprint just computed) to be
+        # broadcast-sized, a driver union-find produces the identical
+        # min-id labeling in one collect + one createDataFrame. The mapping
+        # this builds is the same size as the broadcast that the join-back
+        # below ships anyway, so driver memory is not a new exposure; pair
+        # sets above the bound (the 100 TB case) take the distributed
+        # star loop unchanged.
+        edges_pd = cur.toPandas()
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u_, v_ in zip(edges_pd["u"], edges_pd["v"]):
+            u_, v_ = int(u_), int(v_)
+            parent.setdefault(u_, u_)
+            parent.setdefault(v_, v_)
+            ru, rv = _find(u_), _find(v_)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        label: dict[int, int] = {}
+        for n_ in parent:
+            r = _find(n_)
+            label[r] = min(label.get(r, n_), n_)
+        spark = pairs.sparkSession
+        mapping = spark.createDataFrame(
+            [(n_, label[_find(n_)]) for n_ in sorted(parent)],
+            schema=f"u long, {comp_out} long",
+        )
+        return nodes.join(mapping, "u", "left").select(
+            F.col("u").alias(id_out),
+            F.coalesce(F.col(comp_out), F.col("u")).alias(comp_out),
+        )
     if prev[0] > 0:
         for _ in range(max_iterations):
             cur = small_star(large_star(cur)).localCheckpoint(eager=True)

@@ -290,12 +290,18 @@ _STOPWORDS = {
 
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Count of stopword occurrences (word-boundary) for a language: ONE
-    alternation regex per language via split-count (occurrences = number of
-    split points), not one regexp_replace per word — 4 regex passes over the
-    corpus instead of 20."""
+    alternation regex per language — 4 regex passes over the corpus
+    instead of 20 (one regexp_replace per word).
+
+    r6: ``regexp_count`` instead of ``size(split(c, pat)) - 1``. The count
+    is identical for any input — non-overlapping matches ≡ split points
+    (Spark's split keeps trailing empties at limit -1, so pieces =
+    matches + 1; null in → null out both ways; the pattern cannot match
+    the empty string) — verified mismatch-free over the full sf1.0 corpus,
+    but skips allocating the split pieces (each a copy of a text chunk)."""
     c = F.col(col) if isinstance(col, str) else col
     pat = r"\b(" + "|".join(_STOPWORDS[lang]) + r")\b"
-    return (F.size(F.split(c, pat)) - 1).cast("long")
+    return F.regexp_count(c, F.lit(pat)).cast("long")
 
 
 def quality_score(col: Column | str) -> Column:
@@ -503,20 +509,35 @@ def pii_redact(col: Column | str) -> Column:
     return c
 
 
-def lang_id(col: Column | str) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hit counts,
-    'und' (undetermined) when all zero. Pure column expressions."""
-    c = F.col(col) if isinstance(col, str) else col
-    lc = F.lower(c)
-    scored = [(lang, stopword_hits(lc, lang)) for lang in _STOPWORDS]
+def lang_id_argmax(scores: dict[str, Column]) -> Column:
+    """The lang_id argmax fold over ALREADY-COMPUTED per-language scores:
+    'und' unless some score is strictly greater than every earlier one
+    (earlier language in dict order wins ties). Split out in r6 so callers
+    can stage the scores behind a materialization barrier: the nested
+    when-chains reference each score O(2^langs) times, and with the regex
+    counts inlined that re-ran every regex per reference (the sf1.0 bench's
+    lang_id was 14.5 s; staged + counted it is 2.0 s, hash-identical —
+    see plans/r06/lang_id_*.txt)."""
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("long")
     # deterministic tie-break: earlier language in _STOPWORDS order wins ties
-    for lang, score in scored:
+    for lang, score in scores.items():
         take = score > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
     return best_lang
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when all zero. Pure column expressions. For bulk
+    scoring prefer computing the per-language scores as their own projection
+    behind a barrier and folding with :func:`lang_id_argmax` (see there)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    return lang_id_argmax(
+        {lang: stopword_hits(lc, lang) for lang in _STOPWORDS}
+    )
 
 
 # ---------------------------------------------------------------------------

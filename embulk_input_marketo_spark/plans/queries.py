@@ -574,13 +574,26 @@ def _sql_checkpoint_rollup() -> str:
 
 def q_coerce_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late type coercion of stringly JSON payloads (P4): props JSON →
-    typed long, with the reference's ''/'null' → NULL rule."""
+    typed long, with the reference's ''/'null' → NULL rule.
+
+    r6: the JSON path eval is extracted to its own projection behind a
+    localCheckpoint barrier. GetJsonObject is CodegenFallback, so codegen
+    subexpression elimination never collapses repeated references — the
+    original single-select form evaluated the parse ~4x per row (3 refs
+    inside the nullify CASE, duplicated again by filter pushdown; plan in
+    plans/r06/coerce_props_before.txt), at ~3.4 s per 1M-row pass. One
+    parse + cheap attribute arithmetic is ~3x faster end to end; results
+    are identical (same expression tree over the parsed value)."""
     from embulk_input_marketo_spark.operators.coerce import nullify
 
     ev = _t(spark, sf_dir, "events")
-    k = nullify(F.get_json_object("props", "$.k")).cast("long")
+    raw = ev.select(
+        F.col("event_id"),
+        F.get_json_object("props", "$.k").alias("_raw"),
+    ).localCheckpoint(eager=False)
+    k = nullify(F.col("_raw")).cast("long")
     return (
-        ev.select(F.col("event_id"), k.alias("k_typed"))
+        raw.select(F.col("event_id"), k.alias("k_typed"))
         .where(F.col("k_typed").isNotNull())
     )
 
@@ -950,9 +963,24 @@ def _sql_quality_score() -> str:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: stage the four per-language regex counts as their own projection
+    # behind a localCheckpoint barrier, then fold the argmax over the cheap
+    # attributes — the inline form re-ran the regexes once per argmax
+    # reference (textops.lang_id_argmax docstring; 14.5 s -> 2.0 s at
+    # sf1.0, hash-identical)
     docs = _t(spark, sf_dir, "documents")
+    lc = F.lower(F.col("text"))
+    scored = docs.select(
+        *[
+            textops.stopword_hits(lc, lang).alias(f"_s_{lang}")
+            for lang in textops._STOPWORDS
+        ]
+    ).localCheckpoint(eager=False)
+    pred = textops.lang_id_argmax(
+        {lang: F.col(f"_s_{lang}") for lang in textops._STOPWORDS}
+    )
     return (
-        docs.select(textops.lang_id("text").alias("lang_pred"))
+        scored.select(pred.alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -1644,34 +1672,44 @@ def _sql_image_resize() -> str:
     """
 
 
+def _pgm_fixture_batches(batches):
+    """numpy builder for the ``image_resize_real`` fixture: per doc an
+    actual PGM (P5) image — dims (8+doc_id%5) × (6+doc_id%7), pixel i =
+    (doc_id*31+i) % 256. Byte-identical to the r5 JVM-expression assembly
+    (hash-compared over the full sf1.0 corpus), but the integer math runs
+    vectorized instead of one interpreted format_string per pixel — the
+    assembly dominated the query (guide §4.2; 7.7 s → 1.0 s for the
+    fixture alone)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for dv in pdf["doc_id"]:
+            dv = int(dv)
+            w, h = dv % 5 + 8, dv % 7 + 6
+            pix = ((dv * 31 + np.arange(w * h, dtype=np.int64)) % 256)
+            out.append(
+                f"P5\n{w} {h}\n255\n".encode() + pix.astype(np.uint8).tobytes()
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
 def q_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode→resize→re-encode (no deterministic fake): each doc
-    becomes an actual PGM (P5) image — dims (8+doc_id%5) × (6+doc_id%7),
-    pixel i = (doc_id*31+i) % 256, assembled with pure JVM expressions
-    (format_string/sequence/unhex) — then the mapInPandas kernel PARSES the
-    PGM bytes (:mod:`functions.imagecodec`), nearest-neighbor-resizes to
-    16×16 with the exact integer map src=(dst*extent)//16, and re-encodes
-    canonical P5. The oracle rebuilds the expected output bytes analytically
-    from the same pixel formula + index map, so the decoder, the resampler
-    and the encoder are all value-checked byte-for-byte (hex compare).
+    becomes an actual PGM (P5) image (:func:`_pgm_fixture_batches` — an
+    independent builder whose bytes the kernel has no visibility into),
+    then the mapInPandas kernel PARSES the PGM bytes
+    (:mod:`functions.imagecodec`), nearest-neighbor-resizes to 16×16 with
+    the exact integer map src=(dst*extent)//16, and re-encodes canonical
+    P5. The oracle rebuilds the expected output bytes analytically from
+    the same pixel formula + index map, so the decoder, the resampler and
+    the encoder are all value-checked byte-for-byte (hex compare).
     r4 VERDICT item 3: the codec seam, made real."""
     from embulk_input_marketo_spark.functions.multimodal import resize_images
 
-    d = F.col("doc_id")
-    w = (d % 5 + 8).cast("int")
-    h = (d % 7 + 6).cast("int")
-    header = F.format_string("P5\n%d %d\n255\n", w, h)
-    pix_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), (w * h - 1).cast("bigint")),
-            lambda i: F.format_string("%02x", (d * 31 + i) % 256),
-        ),
-        "",
-    )
-    fixture = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.unhex(F.concat(F.hex(F.encode(header, "UTF-8")), pix_hex))
-        .alias("payload"),
+    fixture = _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        _pgm_fixture_batches, "doc_id long, payload binary"
     )
     out = resize_images(
         fixture, "payload", target_w=16, target_h=16, deterministic_fake=False
@@ -1702,35 +1740,19 @@ def _sql_image_resize_real() -> str:
     """
 
 
-def _le_hex(v, nbytes: int):
-    """Little-endian hex of an integer column over ``nbytes`` bytes — the
-    RIFF/WAVE header field encoder, as JVM expressions."""
-    return F.concat(
-        *[
-            F.format_string("%02x", (v / (256 ** i)).cast("long") % 256)
-            for i in range(nbytes)
-        ]
-    )
+def _wav_fixture_batches(batches):
+    """numpy builder for the ``audio_stats_real`` fixture: per doc an
+    actual mono 16-bit PCM RIFF/WAVE — rate 16 kHz, n = 64+doc_id%32
+    frames, stored u16 sample i = ((doc_id*7 + i*13) % 65536 + 32768)
+    % 65536 little-endian (the two's-complement encoding of signed
+    s = u - 32768). Byte-identical to the r5 JVM-expression assembly
+    (hash-compared over the full sf1.0 corpus); the hex-per-sample
+    format_string transform it replaces was ~2/3 of the query's wall
+    time (guide §4.2)."""
+    import numpy as np
+    import pandas as pd
 
-
-def q_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode (no fake): each doc becomes an actual mono 16-bit
-    PCM WAV — rate 16 kHz, n = 64+doc_id%32 frames, signed sample i =
-    ((doc_id*7 + i*13) % 65536) - 32768 — assembled byte-exactly with JVM
-    expressions (RIFF/fmt/data chunks, little-endian fields, two's-
-    complement sample encoding), then PARSED by the mapInPandas kernel
-    (:mod:`functions.audiocodec`) into integer-exact stats. The oracle
-    recomputes every stat analytically from the same sample formula, so
-    the chunk walker, the PCM decode and the stats fold are all
-    value-checked. The audio sibling of ``image_resize_real``."""
-    from embulk_input_marketo_spark.functions.multimodal import (
-        decode_audio_stats,
-    )
-
-    d = F.col("doc_id")
-    n = (d % 32 + 64).cast("long")
-    # static header pieces (hex): RIFF..WAVE, fmt chunk for PCM mono 16k/16
-    fmt_hex = F.lit(
+    fmt_chunk = bytes.fromhex(
         "666d7420"            # "fmt "
         "10000000"            # chunk len 16
         "0100" "0100"         # PCM, 1 channel
@@ -1738,30 +1760,38 @@ def q_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "007d0000"            # byte rate 32000
         "0200" "1000"         # block align 2, bits 16
     )
-    # stored u16 = two's complement of signed sample s = u - 32768 where
-    # u = (doc_id*7 + i*13) % 65536, i.e. stored = (u + 32768) % 65536;
-    # bytes little-endian (low, high)
-    samples_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), n - 1),
-            lambda i: F.format_string(
-                "%02x%02x",
-                ((d * 7 + i * 13) % 65536 + 32768) % 65536 % 256,
-                (((d * 7 + i * 13) % 65536 + 32768) % 65536 / 256).cast(
-                    "long"
-                ),
-            ),
-        ),
-        "",
+    for pdf in batches:
+        out = []
+        for dv in pdf["doc_id"]:
+            dv = int(dv)
+            n = dv % 32 + 64
+            u = (dv * 7 + np.arange(n, dtype=np.int64) * 13) % 65536
+            data = ((u + 32768) % 65536).astype("<u2").tobytes()
+            out.append(
+                b"RIFF" + (n * 2 + 36).to_bytes(4, "little") + b"WAVE"
+                + fmt_chunk
+                + b"data" + (n * 2).to_bytes(4, "little") + data
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def q_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no fake): each doc becomes an actual mono 16-bit
+    PCM WAV — rate 16 kHz, n = 64+doc_id%32 frames, signed sample i =
+    ((doc_id*7 + i*13) % 65536) - 32768 — built byte-exactly by an
+    independent builder (:func:`_wav_fixture_batches`: RIFF/fmt/data
+    chunks, little-endian fields, two's-complement sample encoding), then
+    PARSED by the mapInPandas kernel (:mod:`functions.audiocodec`) into
+    integer-exact stats. The oracle recomputes every stat analytically
+    from the same sample formula, so the chunk walker, the PCM decode and
+    the stats fold are all value-checked. The audio sibling of
+    ``image_resize_real``."""
+    from embulk_input_marketo_spark.functions.multimodal import (
+        decode_audio_stats,
     )
-    payload_hex = F.concat(
-        F.lit("52494646"), _le_hex(n * 2 + 36, 4), F.lit("57415645"),
-        fmt_hex,
-        F.lit("64617461"), _le_hex(n * 2, 4),
-        samples_hex,
-    )
-    fixture = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.unhex(payload_hex).alias("payload")
+
+    fixture = _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        _wav_fixture_batches, "doc_id long, payload binary"
     )
     return decode_audio_stats(fixture, "payload")
 

@@ -648,6 +648,122 @@ def hashed_classifier_score(
     }
 
 
+def gopher_quality_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Staged DataFrame form of :func:`gopher_flags` for bulk scoring:
+    the five per-document raw counts (each one regex/HOF pass over the
+    text) are computed as their own projection behind a localCheckpoint
+    barrier, then every flag/ratio derives from the cheap counted
+    attributes. The Column-dict form re-evaluates shared sub-expressions
+    per referencing output column (the word-split filter HOF and
+    token_count are CodegenFallback/interpreted, so subexpression
+    elimination never merges them — r6 plan audit; guide §4.1). Same
+    formulas on the same counts ⇒ identical values; pinned against
+    :func:`gopher_flags` by test and oracle.
+
+    Output columns: (id, n_words, mean_word_len, alpha_word_frac,
+    symbol_ratio, stopword_hits, keep) — the gopher_quality query shape."""
+    c = F.col(text_col)
+    t = F.trim(c)
+    words = F.split(t, r"\s+")
+    base = df.select(
+        id_col,
+        token_count(c).alias("_nw"),
+        F.length(F.regexp_replace(t, r"\s+", "")).alias("_lns"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long").alias("_na"),
+        F.regexp_count(t, F.lit(r"\.\.\.|#")).cast("long").alias("_ns"),
+        stopword_hits(F.lower(t), "en").alias("_h"),
+    ).localCheckpoint(eager=False)
+    n_words = F.col("_nw")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.col("_lns").cast("double") / nw
+    alpha_frac = F.col("_na").cast("double") / nw
+    sym_ratio = F.col("_ns").cast("double") / nw
+    hits = F.col("_h")
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (sym_ratio <= max_symbol_ratio)
+        & (hits >= min_stopword_hits)
+    )
+    return base.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        hits.alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
+def hashed_classifier_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "w7",
+    scale: int = 500,
+):
+    """Staged DataFrame form of :func:`hashed_classifier_score`: the
+    md5-per-token weight fold (an interpreted transform/aggregate HOF —
+    the expensive part) and the token count run ONCE behind a barrier;
+    score and label derive from the two attributes. The Column-dict form
+    re-evaluated the whole fold for each of weight_sum / clf_score /
+    clf_label (CodegenFallback ⇒ no subexpression elimination — r6 plan
+    audit). Identical arithmetic on identical integers ⇒ bit-identical
+    outputs; pinned by oracle parity.
+
+    Output columns: (id, n_words, weight_sum, clf_score, clf_label).
+
+    (r6 A/B note: a hashlib-per-token Python kernel was measured SLOWER
+    than the JVM md5 fold here — 4.9 s vs 3.3 s at sf1.0 — Python call
+    overhead per token beats the interpreted-HOF tax, so the expression
+    form stays.)"""
+    c = F.col(text_col)
+    t = F.trim(c)
+    words = F.split(t, r"\s+")
+    weights = F.transform(
+        words,
+        lambda w: F.conv(
+            F.substring(
+                F.md5(F.concat(w, F.lit("|" + seed))), 1, 4
+            ), 16, 10
+        ).cast("long")
+        % (2 * scale + 1)
+        - scale,
+    )
+    wsum = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    base = df.select(
+        id_col,
+        token_count(c).alias("_nw"),
+        wsum.alias("_ws"),
+    ).localCheckpoint(eager=False)
+    score = F.col("_ws").cast("double") / (
+        F.lit(float(scale)) * F.greatest(F.col("_nw"), F.lit(1)).cast("double")
+    )
+    return base.select(
+        id_col,
+        F.col("_nw").alias("n_words"),
+        F.col("_ws").alias("weight_sum"),
+        F.round(score, 6).alias("clf_score"),
+        (score > 0).alias("clf_label"),
+    )
+
+
 def chunk_documents(
     df,
     text_col: str = "text",

@@ -885,6 +885,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (d % 90 + 10).cast("string")),
         ).otherwise(F.lit("")),
     )
+    # (r6 note: a staged per-pattern chain with barriers was measured
+    # SLOWER here — 3.6 s -> 4.0 s at sf1.0: the three regex passes are
+    # codegen'd and already shared, and the checkpoint materialization of
+    # the intermediate text outweighed the saved passes. Kept inline.)
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", pii_text.alias("_t")
     )
@@ -2737,16 +2741,12 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic filter stack of MassiveWeb-style corpus cleaning, per-rule
     flags plus the conjunction. All JVM expressions; the oracle recomputes
     every rule from the raw text."""
+    # r6: staged form — raw counts once behind a barrier, flags from
+    # attributes (textops.gopher_quality_stats docstring; the dict form
+    # re-ran the interpreted word-filter HOF and token_count per output)
     docs = _t(spark, sf_dir, "documents")
-    flags = textops.gopher_flags("text", min_words=10, max_words=100_000)
-    return docs.select(
-        "doc_id",
-        flags["n_words"].alias("n_words"),
-        flags["mean_word_len"].alias("mean_word_len"),
-        flags["alpha_word_frac"].alias("alpha_word_frac"),
-        flags["symbol_ratio"].alias("symbol_ratio"),
-        flags["stopword_hits"].alias("stopword_hits"),
-        flags["keep"].alias("keep"),
+    return textops.gopher_quality_stats(
+        docs, min_words=10, max_words=100_000
     )
 
 
@@ -2790,15 +2790,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-classifier pass): md5-derived integer token weights summed per
     document, normalized into [-1, 1]. Integer-exact until one final
     division, so the oracle reproduces the score bit-for-bit."""
+    # r6: staged form — the md5-per-token fold runs once behind a barrier
+    # instead of once per output column (textops.hashed_classifier_stats)
     docs = _t(spark, sf_dir, "documents")
-    cols = textops.hashed_classifier_score("text")
-    return docs.select(
-        "doc_id",
-        cols["n_words"].alias("n_words"),
-        cols["weight_sum"].alias("weight_sum"),
-        cols["clf_score"].alias("clf_score"),
-        cols["clf_label"].alias("clf_label"),
-    )
+    return textops.hashed_classifier_stats(docs)
 
 
 def _sql_quality_classifier() -> str:

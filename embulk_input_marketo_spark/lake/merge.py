@@ -867,17 +867,33 @@ def _merge_cow(
     stats collect and dropped (see merge_batch docstring for the policy)."""
     key = m.key_col
     batch_full.persist()
+    _bloom_bcasts: list = []
     try:
         might_col = F.lit(True)
         if bloom_fast_path and m.bloom_conf:
             from embulk_input_marketo_spark.lake import bloom as B
 
+            # r6 (r5 ADVICE): load + broadcast only the blooms of buckets
+            # this batch actually touches — at bloom.py's design scale
+            # (~10^5 buckets) loading the full set was repeated multi-GB
+            # driver work per slice. The distinct is one cheap job over the
+            # just-persisted batch (its materialization was due anyway for
+            # the stats pass below).
+            present = {
+                int(r["_b"])
+                for r in batch_full.select("_b").distinct().collect()
+                if r["_b"] is not None
+            }
             blooms = {
                 int(b): B.load_bloom(table.meta_dir, p)[0].tobytes()
                 for b, p in m.bloom_ptrs.items()
+                if int(b) in present
             }
             bblooms = spark.sparkContext.broadcast(blooms)
-            bdata = spark.sparkContext.broadcast({int(b) for b in set(m.files)})
+            bdata = spark.sparkContext.broadcast(
+                {int(b) for b in set(m.files) if int(b) in present}
+            )
+            _bloom_bcasts += [bblooms, bdata]
             _might = B.make_might_contain_udf(
                 bblooms, bdata,
                 int(m.bloom_conf["m_bits"]), int(m.bloom_conf["k"]),
@@ -911,13 +927,19 @@ def _merge_cow(
             )
 
         # append-eligible: the bloom proved every batch key absent AND the
-        # bucket hasn't accumulated too many generations (≥ 8 folds anyway,
-        # bounding the read amplification the skipped folds defer)
+        # bucket hasn't accumulated too many GENERATIONS (≥ 8 folds anyway,
+        # bounding the read amplification the skipped folds defer). r6
+        # (r5 ADVICE): count distinct generation ids, not file entries — a
+        # fold that split a bucket into several files in one generation
+        # would otherwise trip the bound early and shrink the fast path's
+        # hit rate (matches table.read's dirty-bucket test).
         append_set = {
             r["_b"]
             for r in stats
             if not r["_nk"] and not r["might"]
-            and len(m.files.get(str(r["_b"]), [])) < 8
+            and len({
+                e.get("v", 0) for e in m.files.get(str(r["_b"]), [])
+            }) < 8
         } if bloom_fast_path and m.bloom_conf else set()
         fold_buckets = [b for b in touched if b not in append_set]
 
@@ -1036,6 +1058,13 @@ def _merge_cow(
         )
     finally:
         batch_full.unpersist()
+        for bc in _bloom_bcasts:
+            # r6 (r5 ADVICE): broadcasts otherwise accumulate over a long
+            # replay — one pair per slice, each potentially bloom-sized
+            try:
+                bc.destroy()
+            except Exception:
+                pass
 
 
 def _zorder_sort_key(df, zorder_by: list[str]):

@@ -3628,10 +3628,12 @@ def _sql_retention_delete() -> str:
 # Registry order is the driver's verification order: the driver gates the
 # FIRST 50 entries. Round-5 order: the 25 queries that never received a
 # driver CORRECTNESS row (appended after position 50 mid-round-3) lead,
-# then the two round-5 additions (semantic_cell_stats, image_resize_real),
-# then the round-4-green veterans (flagship cdc_final_state first). With
-# CORRECTNESS_r04's 50 green rows, a green r5 gate driver-attests every
-# one of the 77 queries across the two rounds.
+# then the three round-5 additions (semantic_cell_stats, image_resize_real,
+# audio_stats_real), then the round-4-green veterans (flagship
+# cdc_final_state first). With CORRECTNESS_r04's 50 green rows, a green r5
+# gate driver-attests every one of the 78 queries across the two rounds.
+# Round 6 (optimization) keeps the order FROZEN: oracle text and query
+# results are fingerprint-checked against the round start.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_k_per_stratum": q_sample_k_per_stratum,
     "assign_split": q_assign_split,

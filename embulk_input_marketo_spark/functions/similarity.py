@@ -327,6 +327,17 @@ def _assign_cells_np(
             return max_cell
         return None  # caller handles the clean case vectorized
 
+    # r6 input-parallelism guard (guide §2.5): the fixtures are one-file
+    # single-row-group parquet, so without this the whole assignment kernel
+    # runs in ONE task; a table already wider than the session's
+    # parallelism is left alone (no gratuitous shuffle at scale)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    except Exception:
+        pass
+
     def fn(batches):
         for pdf in batches:
             n = len(pdf)

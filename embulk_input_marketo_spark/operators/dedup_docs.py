@@ -55,14 +55,28 @@ def shingles_from_words(words, n: int = 5) -> F.Column:
 
 
 def words_barrier(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
-    """Project the normalized words array behind a shuffle barrier so
-    downstream shingle windows read a physical column (see
+    """Project the normalized words array behind a materialization barrier
+    so downstream shingle windows read a physical column (see
     shingles_from_words). Also spreads a few-file input across the session's
-    parallelism — the shingle/hash work is CPU-bound per row."""
+    parallelism — the shingle/hash work is CPU-bound per row.
+
+    r6 ordering fix (guide §2.5 input skew): the repartition now happens on
+    the RAW rows, BEFORE the normalize/split projection, with a lazy
+    localCheckpoint above as the re-inlining barrier. The old shape
+    (project → repartition) put the regex+split below the exchange — i.e.
+    in the SCAN stage, and the bench fixtures are one-file single-row-group
+    parquet, so the whole corpus normalization ran in ONE task regardless
+    of cluster size. Raw text also shuffles smaller than the words
+    arrays."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(
-        *keep, F.split(normalize_text(text_col), " ").alias("_words")
-    ).repartition(n_parts)
+    return (
+        df.select(*keep, F.col(text_col))
+        .repartition(n_parts)
+        .select(
+            *keep, F.split(normalize_text(text_col), " ").alias("_words")
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 def shingles(col, n: int = 5) -> F.Column:

@@ -28,6 +28,19 @@ from embulk_input_marketo_spark.operators.dedup import lww_dedup
 from embulk_input_marketo_spark.operators.windows import bounded_scan
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the session's parallelism BEFORE heavy
+    per-row work. The bench fixture tables are single-file single-row-group
+    parquet — unsplittable, so any expression fused into the scan stage
+    runs in ONE task no matter how many cores the session has (r6 finding;
+    guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read"). Costs one small shuffle of the raw rows;
+    buys scan-stage parallelism for everything above it. On a real multi-
+    file table the exchange is near-free relative to the map work it
+    unlocks (and AQE coalescing keeps partition counts sane)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -587,7 +600,7 @@ def q_coerce_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_input_marketo_spark.operators.coerce import nullify
 
     ev = _t(spark, sf_dir, "events")
-    raw = ev.select(
+    raw = _spread(ev.select("event_id", "props")).select(
         F.col("event_id"),
         F.get_json_object("props", "$.k").alias("_raw"),
     ).localCheckpoint(eager=False)
@@ -779,6 +792,8 @@ def _sql_tumbling_window() -> str:
 # ---------------------------------------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (r6: _spread A/B'd a dead heat here — one split+size pass is cheap
+    # enough that the exchange buys nothing; left on the scan)
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", textops.token_count("text").alias("n_tokens")
@@ -799,7 +814,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-budget estimators of corpus assembly (whitespace undercounts
     punctuation-heavy text; the pre-tokenizer count is the lower bound a
     real BPE refines)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         textops.token_count("text").alias("ws_tokens"),
@@ -824,7 +839,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens — small enough that sf0.01 docs produce multi-chunk output).
     Plan: split → sequence → one Generate, no shuffle, no UDF; the oracle
     replays the identical start/coverage rule with generate_series."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return textops.chunk_documents(
         docs, "text", id_cols=["doc_id"], size=32, overlap=8
     )
@@ -889,7 +904,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SLOWER here — 3.6 s -> 4.0 s at sf1.0: the three regex passes are
     # codegen'd and already shared, and the checkpoint materialization of
     # the intermediate text outweighed the saved passes. Kept inline.)
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", pii_text.alias("_t")
     )
     counts = textops.pii_counts(F.col("_t"))
@@ -945,7 +960,7 @@ def _sql_pii_redact() -> str:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", textops.quality_score("text").alias("quality"))
 
 
@@ -974,7 +989,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf1.0, hash-identical)
     docs = _t(spark, sf_dir, "documents")
     lc = F.lower(F.col("text"))
-    scored = docs.select(
+    scored = _spread(docs.select("text")).select(
         *[
             textops.stopword_hits(lc, lang).alias(f"_s_{lang}")
             for lang in textops._STOPWORDS
@@ -1022,7 +1037,7 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical extraction invariant (input_hint), inside the gate:
     build html from documents.text, run the Arrow pandas UDF, compare against
     a pure-SQL oracle of the same transform."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     html = F.encode(
         F.concat(
             F.lit("<html><head><title>d</title></head><body><p>"),
@@ -1712,9 +1727,9 @@ def q_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     r4 VERDICT item 3: the codec seam, made real."""
     from embulk_input_marketo_spark.functions.multimodal import resize_images
 
-    fixture = _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
-        _pgm_fixture_batches, "doc_id long, payload binary"
-    )
+    fixture = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    ).mapInPandas(_pgm_fixture_batches, "doc_id long, payload binary")
     out = resize_images(
         fixture, "payload", target_w=16, target_h=16, deterministic_fake=False
     )
@@ -1794,9 +1809,9 @@ def q_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_audio_stats,
     )
 
-    fixture = _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
-        _wav_fixture_batches, "doc_id long, payload binary"
-    )
+    fixture = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    ).mapInPandas(_wav_fixture_batches, "doc_id long, payload binary")
     return decode_audio_stats(fixture, "payload")
 
 
@@ -2131,7 +2146,9 @@ def q_token_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram corpus-frequency scoring per document (integer-exact LM
     quality signal): see textops.token_frequency_stats."""
     d = _t(spark, sf_dir, "documents")
-    return textops.token_frequency_stats(d, "text", "doc_id", rare_max=2)
+    return textops.token_frequency_stats(
+        _spread(d.select("doc_id", "text")), "text", "doc_id", rare_max=2
+    )
 
 
 def _sql_token_frequency_stats() -> str:
@@ -2536,6 +2553,9 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregate."""
     from pyspark.sql import Window
 
+    # (r6: _spread A/B'd SLOWER here — 0.7 s -> 1.1 s: the explode feeds a
+    # map-side combined aggregate whose single-task cost is below the extra
+    # exchange; left on the scan)
     d = _t(spark, sf_dir, "documents")
     words = d.select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
@@ -2744,7 +2764,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r6: staged form — raw counts once behind a barrier, flags from
     # attributes (textops.gopher_quality_stats docstring; the dict form
     # re-ran the interpreted word-filter HOF and token_count per output)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return textops.gopher_quality_stats(
         docs, min_words=10, max_words=100_000
     )
@@ -2792,7 +2812,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, so the oracle reproduces the score bit-for-bit."""
     # r6: staged form — the md5-per-token fold runs once behind a barrier
     # instead of once per output column (textops.hashed_classifier_stats)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return textops.hashed_classifier_stats(docs)
 
 

@@ -104,6 +104,8 @@ def boilerplate_shingles(
     strings never move after the map side); doc-frequency is one map-side-
     combined count; the flag join is co-partitioned with that count's
     exchange. Nothing is O(corpus²)."""
+    from pyspark.sql.window import Window as W
+
     pairs = (
         words_barrier(df, text_col, keep=[id_col])
         .select(
@@ -115,9 +117,14 @@ def boilerplate_shingles(
         .select(id_col, F.xxhash64("_g").alias("_h"))
         .distinct()
     )
-    dfreq = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    # r6 (guide §2.4): the doc-frequency used to be a groupBy(_h) + join
+    # back onto the pair set — re-shuffling the pairs by _h a second time.
+    # A count-over-window partitioned by _h on the distinct pair set is the
+    # same number (rows are distinct (doc, hash), so the partition size IS
+    # the hash's doc frequency) with one exchange instead of two + no join.
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("_h"))
     return (
-        pairs.join(dfreq, "_h")
+        pairs.withColumn("_df", dfreq)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -2245,7 +2245,7 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_lines,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     fixture = d.select(
         "doc_id",
         F.concat(

@@ -400,7 +400,12 @@ def minhash_signatures(
         shingles_from_words(F.col("_words"), shingle_n), lambda s: F.xxhash64(s)
     ).alias("_sh")
     if accel == "auto":
-        accel = "expr"  # measured dead heat at bench shape; see docstring
+        # r6 re-measure: dead heat at K=32 (expr keeps the no-Arrow-hop
+        # default), but at K=64 the family work dominates and the numpy
+        # backend wins (0.86 s vs 1.11 s per corpus pass at sf1.0) — the
+        # same crossover simhash hit at 64 bits. Backends are bit-identical
+        # (test_minhash_numpy_equals_expressions).
+        accel = "np" if num_hashes >= 64 else "expr"
     if accel == "np":
         mins = _minhash_np_udf(num_hashes, seed)(F.col("_sh")).alias("minhash")
     else:
